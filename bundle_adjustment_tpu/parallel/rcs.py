@@ -1,0 +1,296 @@
+"""Large-scale LM solver: point-eliminated reduced camera system (RCS)
+with implicit-Schur preconditioned conjugate gradients.
+
+The dense bordered solver (solver/adjustment.py) materialises N [u x u] and
+is the parity path for metrology-sized networks (10^2..10^3 points, full
+posterior dispersion).  At the driver's north-star scale (100k..1M points,
+BASELINE.json configs 4-5) u is 3e5..3e6 and the dense system cannot exist;
+the block structure of the bundle Hessian is exploited instead:
+
+    H = | Hpp  Hpc  Hpg |     Hpp: [P,3,3] block-diagonal (points)
+        | .    Hcc  Hcg |     Hcc: [M,6,6] block-diagonal (cameras/EO)
+        | .    .    Hgg |     Hgg: [G,G]   small global block (IO+distortion)
+
+Eliminating the points gives the reduced camera system over x = (cams, glob)
+
+    S x = rhs,   S = Hxx - Hxp Hpp^{-1} Hpx,
+    rhs = bx - Hxp Hpp^{-1} bp
+
+whose matrix-vector product is computed *implicitly* from per-observation
+Jacobian blocks with segment-sums — O(N_obs) per product, S never
+materialised — and solved by PCG with an exact block-Jacobi preconditioner
+(6x6 per camera).  This is the TPU-native inversion of the reference's
+per-image Schur loop (BundleAdjustment.java:1197-1342): eliminate the big
+block (points), iterate on the small one.
+
+All control flow is lax.while_loop under jit; the observation axis is the
+data-parallel sharding axis (with obs arrays sharded over a mesh, XLA lowers
+the segment-sums to per-device partials + all-reduces over ICI).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.problem import ParamState
+from ..ops.assembly import gather_local_params
+from ..ops.residuals import image_point_jacobian, image_weight_2x2, predict_image_point
+
+
+class RCSProblem(NamedTuple):
+    """Static arrays of the large-scale problem (device arrays).
+
+    Datum: minimal constraints via fixed coordinates (free_* masks), the
+    standard production choice at this scale; inner (Helmert) constraints are
+    the dense solver's domain.
+    """
+
+    obs_point: jnp.ndarray  # [N] int32
+    obs_image: jnp.ndarray  # [N] int32
+    cam_of_image: jnp.ndarray  # [M] int32
+    obs_xy: jnp.ndarray  # [N, 2]
+    obs_weight: jnp.ndarray  # [N, 2, 2] (already includes validity mask)
+    r0: jnp.ndarray  # [C]
+    num_points: int
+    num_images: int
+    free_point: jnp.ndarray  # [P, 3] 1.0 = free, 0.0 = fixed
+    free_eo: jnp.ndarray  # [M, 6]
+    free_global: jnp.ndarray  # [G] with G = C * (3 + K)
+
+
+class Blocks(NamedTuple):
+    Jp: jnp.ndarray  # [N, 2, 3]
+    Jc: jnp.ndarray  # [N, 2, 6]
+    Jg: jnp.ndarray  # [N, 2, G]
+    P2: jnp.ndarray  # [N, 2, 2]
+    w: jnp.ndarray  # [N, 2]
+    Hpp_inv: jnp.ndarray  # [P, 3, 3]
+    bp: jnp.ndarray  # [P, 3]
+    bc: jnp.ndarray  # [M, 6]
+    bg: jnp.ndarray  # [G]
+    extra_c: jnp.ndarray  # [M, 6] diagonal damping/fixed additions
+    extra_g: jnp.ndarray  # [G]
+    omega0: jnp.ndarray  # scalar: w^T P w at the linearisation point
+
+
+def _seg(x, ids, num):
+    return jax.ops.segment_sum(x, ids, num_segments=num)
+
+
+def rcs_from_problem(bp, dtype=jnp.float64) -> RCSProblem:
+    """Build an RCSProblem from a compiled dense BundleProblem (image
+    observations only; scale bars / direct observations / inner constraints
+    are the dense solver's domain — use fixed coordinates for the datum)."""
+    import numpy as np
+
+    w2 = jax.vmap(image_weight_2x2)(
+        jnp.asarray(bp.obs_var[:, 0], dtype), jnp.asarray(bp.obs_var[:, 1], dtype),
+        jnp.asarray(bp.obs_rho, dtype),
+        jnp.full(bp.num_image_obs, bp.sigma2_apriori, dtype))
+    C = bp.num_cameras
+    K = bp.spec.num_coefficients
+    free_global = np.concatenate(
+        [np.concatenate([(bp.col_io[c] >= 0), (bp.col_dist[c] >= 0)])
+         for c in range(C)]).astype(float)
+    return RCSProblem(
+        obs_point=jnp.asarray(bp.obs_point),
+        obs_image=jnp.asarray(bp.obs_image),
+        cam_of_image=jnp.asarray(bp.cam_of_image),
+        obs_xy=jnp.asarray(bp.obs_xy, dtype),
+        obs_weight=w2,
+        r0=jnp.asarray(bp.r0, dtype),
+        num_points=bp.num_points,
+        num_images=bp.num_images,
+        free_point=jnp.asarray((bp.col_points >= 0).astype(float), dtype),
+        free_eo=jnp.asarray((bp.col_eo >= 0).astype(float), dtype),
+        free_global=jnp.asarray(free_global, dtype),
+    )
+
+
+def linearize(problem: RCSProblem, state: ParamState, spec, damping) -> Blocks:
+    p = problem
+    P_, M_ = p.num_points, p.num_images
+    local = gather_local_params(state, p.obs_point, p.obs_image, p.cam_of_image)
+    cams = p.cam_of_image[p.obs_image]
+    r0 = p.r0[cams]
+
+    def one(loc, r0_i, xy):
+        pred = predict_image_point(loc, spec, r0_i)
+        J = image_point_jacobian(loc, spec, r0_i)
+        return J, xy - pred
+
+    J, w = jax.vmap(one)(local, r0, p.obs_xy)
+    P2 = p.obs_weight
+
+    # fixed parameters: mask Jacobian columns (array analogue of the
+    # reference's column == MAX_VALUE skip)
+    Jp = J[:, :, 0:3] * p.free_point[p.obs_point][:, None, :]
+    Jc = J[:, :, 6:12] * p.free_eo[p.obs_image][:, None, :]
+
+    C = state.io.shape[0]
+    K = J.shape[2] - 12
+    Gpc = 3 + K
+    G = C * Gpc
+    Jg_cam = jnp.concatenate([J[:, :, 3:6], J[:, :, 12:]], axis=2)  # [N,2,Gpc]
+
+    if C == 1:
+        Jg = Jg_cam
+    else:
+        offs = cams * Gpc
+
+        def to_full(jg, off):
+            z = jnp.zeros((2, G), jg.dtype)
+            return jax.lax.dynamic_update_slice(z, jg, (0, off))
+
+        Jg = jax.vmap(to_full)(Jg_cam, offs)
+    Jg = Jg * p.free_global[None, None, :]
+
+    Pw = jnp.einsum("nij,nj->ni", P2, w)
+    omega0 = jnp.sum(w * Pw)
+
+    eye3 = jnp.eye(3, dtype=J.dtype)
+    Hpp = _seg(jnp.einsum("nia,nij,njb->nab", Jp, P2, Jp), p.obs_point, P_)
+    dpp = jnp.diagonal(Hpp, axis1=1, axis2=2)
+    extra_p = damping * dpp + (1.0 - p.free_point)
+    Hpp = Hpp + extra_p[:, :, None] * eye3
+    Hpp_inv = jnp.linalg.inv(Hpp)
+    bp = _seg(jnp.einsum("nia,ni->na", Jp, Pw), p.obs_point, P_)
+
+    Hcc_diag = _seg(jnp.einsum("nia,nij,njb->nab", Jc, P2, Jc), p.obs_image, M_)
+    extra_c = damping * jnp.diagonal(Hcc_diag, axis1=1, axis2=2) + (1.0 - p.free_eo)
+    bc = _seg(jnp.einsum("nia,ni->na", Jc, Pw), p.obs_image, M_)
+
+    Hgg_diag = jnp.einsum("nia,nij,nja->a", Jg, P2, Jg)
+    extra_g = damping * Hgg_diag + (1.0 - p.free_global)
+    bg = jnp.einsum("nia,ni->a", Jg, Pw)
+
+    return Blocks(Jp=Jp, Jc=Jc, Jg=Jg, P2=P2, w=w, Hpp_inv=Hpp_inv, bp=bp,
+                  bc=bc, bg=bg, extra_c=extra_c, extra_g=extra_g,
+                  omega0=omega0)
+
+
+def schur_matvec(p: RCSProblem, b: Blocks, xc, xg):
+    """Implicit S @ [xc; xg]; every term is O(N_obs)."""
+    # t = P (Jc xc + Jg xg) per observation [N, 2]
+    t = jnp.einsum("nij,nja,na->ni", b.P2, b.Jc, xc[p.obs_image])
+    t = t + jnp.einsum("nij,nja,a->ni", b.P2, b.Jg, xg)
+
+    # z = Hpp^{-1} Hpx x  (gathered back per obs)
+    y = _seg(jnp.einsum("nia,ni->na", b.Jp, t), p.obs_point, p.num_points)
+    z = jnp.einsum("pab,pb->pa", b.Hpp_inv, y)
+    u = jnp.einsum("nij,nja,na->ni", b.P2, b.Jp, z[p.obs_point])
+
+    tv = t - u
+    out_c = _seg(jnp.einsum("nia,ni->na", b.Jc, tv), p.obs_image, p.num_images)
+    out_c = out_c + b.extra_c * xc
+    out_g = jnp.einsum("nia,ni->a", b.Jg, tv) + b.extra_g * xg
+    return out_c, out_g
+
+
+def reduced_rhs(p: RCSProblem, b: Blocks):
+    """rhs = bx - Hxp Hpp^{-1} bp."""
+    z0 = jnp.einsum("pab,pb->pa", b.Hpp_inv, b.bp)
+    u0 = jnp.einsum("nij,nja,na->ni", b.P2, b.Jp, z0[p.obs_point])
+    rc = b.bc - _seg(jnp.einsum("nia,ni->na", b.Jc, u0), p.obs_image, p.num_images)
+    rg = b.bg - jnp.einsum("nia,ni->a", b.Jg, u0)
+    return rc, rg
+
+
+def camera_block_preconditioner(p: RCSProblem, b: Blocks):
+    """Exact 6x6 diagonal blocks of S (one observation per (point, image)
+    pair makes the per-image correction exact): used as block-Jacobi."""
+    Hpc = jnp.einsum("nia,nij,njb->nab", b.Jp, b.P2, b.Jc)  # [N, 3, 6]
+    corr = jnp.einsum("nab,nac,ncd->nbd", Hpc, b.Hpp_inv[p.obs_point], Hpc)
+    Scc = _seg(jnp.einsum("nia,nij,njb->nab", b.Jc, b.P2, b.Jc)
+               - corr, p.obs_image, p.num_images)
+    Scc = Scc + b.extra_c[:, :, None] * jnp.eye(6, dtype=Scc.dtype)
+    return jnp.linalg.inv(Scc)
+
+
+def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv_c, tol=1e-10, maxiter=200):
+    """Preconditioned CG on the implicit reduced system."""
+
+    def apply_M(rc_, rg_):
+        return jnp.einsum("mab,mb->ma", Minv_c, rc_), rg_
+
+    def dot(ac, ag, bc_, bg_):
+        return jnp.sum(ac * bc_) + jnp.sum(ag * bg_)
+
+    xc = jnp.zeros_like(rc)
+    xg = jnp.zeros_like(rg)
+    zc, zg = apply_M(rc, rg)
+    pc, pg = zc, zg
+    rz = dot(rc, rg, zc, zg)
+    r0norm = jnp.sqrt(dot(rc, rg, rc, rg))
+
+    def cond(carry):
+        xc, xg, rc, rg, pc, pg, rz, it = carry
+        rnorm = jnp.sqrt(dot(rc, rg, rc, rg))
+        return jnp.logical_and(it < maxiter, rnorm > tol * (1.0 + r0norm))
+
+    def body(carry):
+        xc, xg, rc, rg, pc, pg, rz, it = carry
+        qc, qg = schur_matvec(p, b, pc, pg)
+        alpha = rz / dot(pc, pg, qc, qg)
+        xc = xc + alpha * pc
+        xg = xg + alpha * pg
+        rc = rc - alpha * qc
+        rg = rg - alpha * qg
+        zc, zg = apply_M(rc, rg)
+        rz_new = dot(rc, rg, zc, zg)
+        beta = rz_new / rz
+        pc = zc + beta * pc
+        pg = zg + beta * pg
+        return xc, xg, rc, rg, pc, pg, rz_new, it + 1
+
+    xc, xg, rc, rg, pc, pg, rz, it = jax.lax.while_loop(
+        cond, body, (xc, xg, rc, rg, pc, pg, rz, jnp.zeros((), jnp.int32)))
+    return xc, xg, it
+
+
+def back_substitute_points(p: RCSProblem, b: Blocks, xc, xg):
+    """dx_p = Hpp^{-1} (bp - Hpx x)."""
+    t = jnp.einsum("nij,nja,na->ni", b.P2, b.Jc, xc[p.obs_image])
+    t = t + jnp.einsum("nij,nja,a->ni", b.P2, b.Jg, xg)
+    y = _seg(jnp.einsum("nia,ni->na", b.Jp, t), p.obs_point, p.num_points)
+    return jnp.einsum("pab,pb->pa", b.Hpp_inv, b.bp - y)
+
+
+def omega_at(p: RCSProblem, b: Blocks, dxp, dxc, dxg):
+    """Omega(dx) = sum (w - J dx)^T P (w - J dx) at the linearisation point
+    (getOmega semantics, BundleAdjustment.java:472-491)."""
+    Jdx = (jnp.einsum("nia,na->ni", b.Jp, dxp[p.obs_point])
+           + jnp.einsum("nia,na->ni", b.Jc, dxc[p.obs_image])
+           + jnp.einsum("nia,a->ni", b.Jg, dxg))
+    v = b.w - Jdx
+    return jnp.sum(v * jnp.einsum("nij,nj->ni", b.P2, v))
+
+
+def lm_step(problem: RCSProblem, state: ParamState, spec, damping,
+            cg_tol=1e-10, cg_maxiter=200):
+    """One full LM inner solve: linearise, reduce, PCG, back-substitute.
+
+    Returns (dxp [P,3], dxc [M,6], dxg [G], blocks, cg_iterations)."""
+    b = linearize(problem, state, spec, damping)
+    rc, rg = reduced_rhs(problem, b)
+    Minv = camera_block_preconditioner(problem, b)
+    xc, xg, it = pcg(problem, b, rc, rg, Minv, tol=cg_tol, maxiter=cg_maxiter)
+    dxp = back_substitute_points(problem, b, xc, xg)
+    return dxp, xc, xg, b, it
+
+
+def apply_step(state: ParamState, problem: RCSProblem, dxp, dxc, dxg):
+    """x <- x + dx with the global vector split back into (io, dist)."""
+    C = state.io.shape[0]
+    K = state.dist.shape[1]
+    g = dxg.reshape(C, 3 + K)
+    return ParamState(
+        points=state.points + dxp,
+        io=state.io + g[:, :3],
+        dist=state.dist + g[:, 3:],
+        eo=state.eo + dxc,
+    ), jnp.max(jnp.stack([
+        jnp.max(jnp.abs(dxp)), jnp.max(jnp.abs(dxc)), jnp.max(jnp.abs(dxg))]))
