@@ -59,12 +59,22 @@ class RCSProblem(NamedTuple):
     free_point: jnp.ndarray  # [P, 3] 1.0 = free, 0.0 = fixed
     free_eo: jnp.ndarray  # [M, 6]
     free_global: jnp.ndarray  # [G] with G = C * (3 + K)
+    # Optional dense visibility tables (gather-based reductions).  TPU
+    # scatter serialises on colliding indices, so per-image segment-sums of
+    # ~N/M rows each are the hot-loop bottleneck; with these tables every
+    # reduction becomes gather + dense sum (no scatter in the CG loop).
+    # Entries == N point at an implicit zero pad row.
+    point2obs: jnp.ndarray | None = None  # [P, Kp] int32
+    img2obs: jnp.ndarray | None = None  # [M, Kc] int32
 
 
 class Blocks(NamedTuple):
     Jp: jnp.ndarray  # [N, 2, 3]
     Jc: jnp.ndarray  # [N, 2, 6]
     Jg: jnp.ndarray  # [N, 2, G]
+    PJp: jnp.ndarray  # [N, 2, 3]  P-weighted blocks (precomputed for the
+    PJc: jnp.ndarray  # [N, 2, 6]  CG hot loop)
+    PJg: jnp.ndarray  # [N, 2, G]
     P2: jnp.ndarray  # [N, 2, 2]
     w: jnp.ndarray  # [N, 2]
     Hpp_inv: jnp.ndarray  # [P, 3, 3]
@@ -80,7 +90,45 @@ def _seg(x, ids, num):
     return jax.ops.segment_sum(x, ids, num_segments=num)
 
 
-def rcs_from_problem(bp, dtype=jnp.float64) -> RCSProblem:
+def _seg_point(p: "RCSProblem", x):
+    """Sum per point: gather-based when tables exist, else segment_sum."""
+    if p.point2obs is None:
+        return _seg(x, p.obs_point, p.num_points)
+    xp = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
+    return jnp.sum(xp[p.point2obs], axis=1)
+
+
+def _seg_image(p: "RCSProblem", x):
+    """Sum per image: gather-based when tables exist, else segment_sum."""
+    if p.img2obs is None:
+        return _seg(x, p.obs_image, p.num_images)
+    xp = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
+    return jnp.sum(xp[p.img2obs], axis=1)
+
+
+def build_visibility_tables(obs_point, obs_image, num_points, num_images):
+    """Host-side construction of the dense gather tables (numpy)."""
+    import numpy as np
+
+    obs_point = np.asarray(obs_point)
+    obs_image = np.asarray(obs_image)
+    N = obs_point.shape[0]
+
+    def table(ids, num):
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        counts = np.bincount(ids, minlength=num)
+        K = int(counts.max()) if num else 0
+        t = np.full((num, K), N, np.int32)
+        # position of each obs within its segment
+        pos = np.arange(N) - np.concatenate([[0], np.cumsum(counts)])[sorted_ids]
+        t[sorted_ids, pos] = order
+        return t
+
+    return table(obs_point, num_points), table(obs_image, num_images)
+
+
+def rcs_from_problem(bp, dtype=jnp.float64, build_tables: bool = True) -> RCSProblem:
     """Build an RCSProblem from a compiled dense BundleProblem (image
     observations only; scale bars / direct observations / inner constraints
     are the dense solver's domain — use fixed coordinates for the datum)."""
@@ -95,7 +143,15 @@ def rcs_from_problem(bp, dtype=jnp.float64) -> RCSProblem:
     free_global = np.concatenate(
         [np.concatenate([(bp.col_io[c] >= 0), (bp.col_dist[c] >= 0)])
          for c in range(C)]).astype(float)
+    p2o = i2o = None
+    if build_tables:
+        p2o, i2o = build_visibility_tables(
+            bp.obs_point, bp.obs_image, bp.num_points, bp.num_images)
+        p2o = jnp.asarray(p2o)
+        i2o = jnp.asarray(i2o)
     return RCSProblem(
+        point2obs=p2o,
+        img2obs=i2o,
         obs_point=jnp.asarray(bp.obs_point),
         obs_image=jnp.asarray(bp.obs_image),
         cam_of_image=jnp.asarray(bp.cam_of_image),
@@ -151,40 +207,45 @@ def linearize(problem: RCSProblem, state: ParamState, spec, damping) -> Blocks:
     Pw = jnp.einsum("nij,nj->ni", P2, w)
     omega0 = jnp.sum(w * Pw)
 
+    PJp = jnp.einsum("nij,nja->nia", P2, Jp)
+    PJc = jnp.einsum("nij,nja->nia", P2, Jc)
+    PJg = jnp.einsum("nij,nja->nia", P2, Jg)
+
     eye3 = jnp.eye(3, dtype=J.dtype)
-    Hpp = _seg(jnp.einsum("nia,nij,njb->nab", Jp, P2, Jp), p.obs_point, P_)
+    Hpp = _seg_point(p, jnp.einsum("nia,nib->nab", Jp, PJp))
     dpp = jnp.diagonal(Hpp, axis1=1, axis2=2)
     extra_p = damping * dpp + (1.0 - p.free_point)
     Hpp = Hpp + extra_p[:, :, None] * eye3
     Hpp_inv = jnp.linalg.inv(Hpp)
-    bp = _seg(jnp.einsum("nia,ni->na", Jp, Pw), p.obs_point, P_)
+    bp = _seg_point(p, jnp.einsum("nia,ni->na", Jp, Pw))
 
-    Hcc_diag = _seg(jnp.einsum("nia,nij,njb->nab", Jc, P2, Jc), p.obs_image, M_)
+    Hcc_diag = _seg_image(p, jnp.einsum("nia,nib->nab", Jc, PJc))
     extra_c = damping * jnp.diagonal(Hcc_diag, axis1=1, axis2=2) + (1.0 - p.free_eo)
-    bc = _seg(jnp.einsum("nia,ni->na", Jc, Pw), p.obs_image, M_)
+    bc = _seg_image(p, jnp.einsum("nia,ni->na", Jc, Pw))
 
-    Hgg_diag = jnp.einsum("nia,nij,nja->a", Jg, P2, Jg)
+    Hgg_diag = jnp.einsum("nia,nia->a", Jg, PJg)
     extra_g = damping * Hgg_diag + (1.0 - p.free_global)
     bg = jnp.einsum("nia,ni->a", Jg, Pw)
 
-    return Blocks(Jp=Jp, Jc=Jc, Jg=Jg, P2=P2, w=w, Hpp_inv=Hpp_inv, bp=bp,
-                  bc=bc, bg=bg, extra_c=extra_c, extra_g=extra_g,
-                  omega0=omega0)
+    return Blocks(Jp=Jp, Jc=Jc, Jg=Jg, PJp=PJp, PJc=PJc, PJg=PJg, P2=P2, w=w,
+                  Hpp_inv=Hpp_inv, bp=bp, bc=bc, bg=bg, extra_c=extra_c,
+                  extra_g=extra_g, omega0=omega0)
 
 
 def schur_matvec(p: RCSProblem, b: Blocks, xc, xg):
-    """Implicit S @ [xc; xg]; every term is O(N_obs)."""
+    """Implicit S @ [xc; xg]; every term is O(N_obs), gathers + dense sums
+    only (no scatter) when the visibility tables are present."""
     # t = P (Jc xc + Jg xg) per observation [N, 2]
-    t = jnp.einsum("nij,nja,na->ni", b.P2, b.Jc, xc[p.obs_image])
-    t = t + jnp.einsum("nij,nja,a->ni", b.P2, b.Jg, xg)
+    t = jnp.einsum("nia,na->ni", b.PJc, xc[p.obs_image])
+    t = t + jnp.einsum("nia,a->ni", b.PJg, xg)
 
     # z = Hpp^{-1} Hpx x  (gathered back per obs)
-    y = _seg(jnp.einsum("nia,ni->na", b.Jp, t), p.obs_point, p.num_points)
+    y = _seg_point(p, jnp.einsum("nia,ni->na", b.Jp, t))
     z = jnp.einsum("pab,pb->pa", b.Hpp_inv, y)
-    u = jnp.einsum("nij,nja,na->ni", b.P2, b.Jp, z[p.obs_point])
+    u = jnp.einsum("nia,na->ni", b.PJp, z[p.obs_point])
 
     tv = t - u
-    out_c = _seg(jnp.einsum("nia,ni->na", b.Jc, tv), p.obs_image, p.num_images)
+    out_c = _seg_image(p, jnp.einsum("nia,ni->na", b.Jc, tv))
     out_c = out_c + b.extra_c * xc
     out_g = jnp.einsum("nia,ni->a", b.Jg, tv) + b.extra_g * xg
     return out_c, out_g
@@ -193,8 +254,8 @@ def schur_matvec(p: RCSProblem, b: Blocks, xc, xg):
 def reduced_rhs(p: RCSProblem, b: Blocks):
     """rhs = bx - Hxp Hpp^{-1} bp."""
     z0 = jnp.einsum("pab,pb->pa", b.Hpp_inv, b.bp)
-    u0 = jnp.einsum("nij,nja,na->ni", b.P2, b.Jp, z0[p.obs_point])
-    rc = b.bc - _seg(jnp.einsum("nia,ni->na", b.Jc, u0), p.obs_image, p.num_images)
+    u0 = jnp.einsum("nia,na->ni", b.PJp, z0[p.obs_point])
+    rc = b.bc - _seg_image(p, jnp.einsum("nia,ni->na", b.Jc, u0))
     rg = b.bg - jnp.einsum("nia,ni->a", b.Jg, u0)
     return rc, rg
 
@@ -202,10 +263,9 @@ def reduced_rhs(p: RCSProblem, b: Blocks):
 def camera_block_preconditioner(p: RCSProblem, b: Blocks):
     """Exact 6x6 diagonal blocks of S (one observation per (point, image)
     pair makes the per-image correction exact): used as block-Jacobi."""
-    Hpc = jnp.einsum("nia,nij,njb->nab", b.Jp, b.P2, b.Jc)  # [N, 3, 6]
+    Hpc = jnp.einsum("nia,nib->nab", b.Jp, b.PJc)  # [N, 3, 6]
     corr = jnp.einsum("nab,nac,ncd->nbd", Hpc, b.Hpp_inv[p.obs_point], Hpc)
-    Scc = _seg(jnp.einsum("nia,nij,njb->nab", b.Jc, b.P2, b.Jc)
-               - corr, p.obs_image, p.num_images)
+    Scc = _seg_image(p, jnp.einsum("nia,nib->nab", b.Jc, b.PJc) - corr)
     Scc = Scc + b.extra_c[:, :, None] * jnp.eye(6, dtype=Scc.dtype)
     return jnp.linalg.inv(Scc)
 
@@ -253,9 +313,9 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv_c, tol=1e-10, maxiter=200):
 
 def back_substitute_points(p: RCSProblem, b: Blocks, xc, xg):
     """dx_p = Hpp^{-1} (bp - Hpx x)."""
-    t = jnp.einsum("nij,nja,na->ni", b.P2, b.Jc, xc[p.obs_image])
-    t = t + jnp.einsum("nij,nja,a->ni", b.P2, b.Jg, xg)
-    y = _seg(jnp.einsum("nia,ni->na", b.Jp, t), p.obs_point, p.num_points)
+    t = jnp.einsum("nia,na->ni", b.PJc, xc[p.obs_image])
+    t = t + jnp.einsum("nia,a->ni", b.PJg, xg)
+    y = _seg_point(p, jnp.einsum("nia,ni->na", b.Jp, t))
     return jnp.einsum("pab,pb->pa", b.Hpp_inv, b.bp - y)
 
 
