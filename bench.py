@@ -97,13 +97,10 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0):
     free_eo = np.ones((num_images, 6))
     free_global = np.ones(3 + K)
 
-    from bundle_adjustment_tpu.parallel.rcs import build_visibility_tables
-
-    p2o, i2o = build_visibility_tables(obs_point, obs_image,
-                                       num_points, num_images)
-
+    # NOTE: the gather-table reductions (build_visibility_tables) measured
+    # slower on TPU than plain segment_sum at this scale and pathologically
+    # slow to compile at 100k; the bench uses the segment path.
     problem = RCSProblem(
-        point2obs=jnp.asarray(p2o), img2obs=jnp.asarray(i2o),
         obs_point=jnp.asarray(obs_point), obs_image=jnp.asarray(obs_image),
         cam_of_image=cam_of_image,
         obs_xy=jnp.asarray(xy, dtype), obs_weight=jnp.asarray(w2, dtype),
