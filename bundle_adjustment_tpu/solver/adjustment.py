@@ -96,6 +96,10 @@ class BundleAdjustment:
         self.result_writer = None
         self._listeners: list[Callable[[str, object, object], None]] = []
         self._interrupt = False
+        # checkpoint/resume (new capability; survey section 5)
+        self.checkpoint_path: Optional[str] = None
+        self.checkpoint_every: int = 0
+        self._resume_from: Optional[str] = None
 
         self.compiled: Optional[CompiledScene] = None
         self.state: Optional[ParamState] = None
@@ -140,6 +144,16 @@ class BundleAdjustment:
 
     def set_adjustment_result_writer(self, writer) -> None:
         self.result_writer = writer
+
+    def set_checkpointing(self, path: str, every_n_iterations: int = 10) -> None:
+        """Write an LM-state checkpoint every N iterations (atomic .npz)."""
+        self.checkpoint_path = path
+        self.checkpoint_every = int(every_n_iterations)
+
+    def resume_from(self, path: str) -> None:
+        """Resume the next estimate_model() from a saved checkpoint (the
+        scene must be identical to the one that produced it)."""
+        self._resume_from = path
 
     def _fire(self, name: str, old, new) -> None:
         for fn in self._listeners:
@@ -321,7 +335,18 @@ class BundleAdjustment:
                              for a in self.compiled.state))
 
         centroid = None
-        if self.use_centroided_coordinates:
+        resume = None
+        if self._resume_from:
+            from .checkpoint import LMCheckpoint
+
+            resume = LMCheckpoint.load(self._resume_from)
+            self._resume_from = None
+
+        if resume is not None:
+            state = ParamState(*(jnp.asarray(a, self.dtype)
+                                 for a in resume.state))
+            centroid = resume.centroid
+        elif self.use_centroided_coordinates:
             state, centroid = self._centroid(state, False, None)
 
         kernels = self._build_kernels()
@@ -332,6 +357,12 @@ class BundleAdjustment:
         converged = True
         if self.max_iterations == 0:
             estimate_complete = is_estimated = True
+
+        if resume is not None:
+            runs = max(1, self.max_iterations - 1 - resume.iteration)
+            adapted_damping = resume.adapted_damping
+            self.omega = resume.omega
+            last_valid_max_abs_dx = resume.max_abs_dx
 
         Qxx = None
         while not estimate_complete:
@@ -422,6 +453,16 @@ class BundleAdjustment:
             if (is_estimated or adapted_damping <= SQRT_EPS
                     or runs < self.max_iterations * 0.5 + 1):
                 adapted_damping = 0.0
+
+            if (self.checkpoint_path and self.checkpoint_every > 0
+                    and self.iteration_step % self.checkpoint_every == 0):
+                from .checkpoint import LMCheckpoint
+
+                LMCheckpoint(
+                    state=state, iteration=self.iteration_step,
+                    adapted_damping=adapted_damping, omega=self.omega,
+                    max_abs_dx=self.max_abs_dx, centroid=centroid,
+                ).save(self.checkpoint_path)
 
         if self.use_centroided_coordinates:
             state, _ = self._centroid(state, True, centroid)
