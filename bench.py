@@ -97,10 +97,16 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0):
     free_eo = np.ones((num_images, 6))
     free_global = np.ones(3 + K)
 
-    # NOTE: the gather-table reductions (build_visibility_tables) measured
-    # slower on TPU than plain segment_sum at this scale and pathologically
-    # slow to compile at 100k; the bench uses the segment path.
+    # Blocked image-reduction layout (scatter-free) + uniform point-major
+    # reshape reductions — the TPU fast path.
+    from bundle_adjustment_tpu.parallel.rcs import build_image_block_layout
+
+    img_perm, img_bstarts = build_image_block_layout(obs_image, num_images)
+
     problem = RCSProblem(
+        img_perm=jnp.asarray(img_perm),
+        img_block_starts=jnp.asarray(img_bstarts),
+        point_uniform=views_per_point,
         obs_point=jnp.asarray(obs_point), obs_image=jnp.asarray(obs_image),
         cam_of_image=cam_of_image,
         obs_xy=jnp.asarray(xy, dtype), obs_weight=jnp.asarray(w2, dtype),

@@ -66,6 +66,15 @@ class RCSProblem(NamedTuple):
     # Entries == N point at an implicit zero pad row.
     point2obs: jnp.ndarray | None = None  # [P, Kp] int32
     img2obs: jnp.ndarray | None = None  # [M, Kc] int32
+    # Optional blocked image-reduction layout (preferred on TPU): a static
+    # permutation into image-sorted order padded per image to a multiple of
+    # IMG_BLOCK, followed by within-block sums and a short cumsum-diff over
+    # block boundaries — no scatter, f32-safe two-level summation.
+    img_perm: jnp.ndarray | None = None  # [Nip] int32 (N -> zero pad row)
+    img_block_starts: jnp.ndarray | None = None  # [M+1] int32 (block units)
+    # When the observations are stored point-major with a uniform number of
+    # views per point, per-point reductions are pure reshapes (static int).
+    point_uniform: int | None = None
 
 
 class Blocks(NamedTuple):
@@ -91,19 +100,69 @@ def _seg(x, ids, num):
 
 
 def _seg_point(p: "RCSProblem", x):
-    """Sum per point: gather-based when tables exist, else segment_sum."""
+    """Sum per point: reshape (uniform point-major) > gather table >
+    segment_sum."""
+    if p.point_uniform is not None:
+        return x.reshape((p.num_points, p.point_uniform) + x.shape[1:]).sum(1)
     if p.point2obs is None:
         return _seg(x, p.obs_point, p.num_points)
     xp = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
     return jnp.sum(xp[p.point2obs], axis=1)
 
 
+def _expand_point(p: "RCSProblem", z):
+    """Gather per-point values back to observations: z[obs_point], using a
+    broadcast when the layout is uniform point-major."""
+    if p.point_uniform is not None:
+        shape = (p.num_points, p.point_uniform) + z.shape[1:]
+        return jnp.broadcast_to(z[:, None], shape).reshape(
+            (p.num_points * p.point_uniform,) + z.shape[1:])
+    return z[p.obs_point]
+
+
+#: block size of the image-sorted blocked reduction (lane-friendly)
+IMG_BLOCK = 512
+
+
 def _seg_image(p: "RCSProblem", x):
-    """Sum per image: gather-based when tables exist, else segment_sum."""
+    """Sum per image.  Preference order: blocked permutation layout (TPU,
+    scatter-free, precision-safe) > gather table > segment_sum."""
+    if p.img_perm is not None:
+        flat = x.reshape(x.shape[0], -1)
+        xp = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), x.dtype)])
+        xi = xp[p.img_perm]  # [Nip, F]
+        nb = xi.shape[0] // IMG_BLOCK
+        bl = xi.reshape(nb, IMG_BLOCK, -1).sum(axis=1)  # [Nb, F]
+        cs = jnp.cumsum(bl, axis=0)
+        csz = jnp.concatenate([jnp.zeros((1, bl.shape[1]), x.dtype), cs])
+        out = csz[p.img_block_starts[1:]] - csz[p.img_block_starts[:-1]]
+        return out.reshape((p.num_images,) + x.shape[1:])
     if p.img2obs is None:
         return _seg(x, p.obs_image, p.num_images)
     xp = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)])
     return jnp.sum(xp[p.img2obs], axis=1)
+
+
+def build_image_block_layout(obs_image, num_images, block=IMG_BLOCK):
+    """Host-side: permutation into image-sorted order with per-image padding
+    to a multiple of `block`; returns (img_perm [Nip], img_block_starts
+    [M+1] in block units)."""
+    import numpy as np
+
+    obs_image = np.asarray(obs_image)
+    N = obs_image.shape[0]
+    order = np.argsort(obs_image, kind="stable")
+    counts = np.bincount(obs_image, minlength=num_images)
+    padded = ((counts + block - 1) // block) * block
+    # images with zero observations still get zero padded blocks (padded=0)
+    starts = np.concatenate([[0], np.cumsum(padded)])
+    perm = np.full(int(starts[-1]), N, np.int32)
+    src = 0
+    for m in range(num_images):
+        c = int(counts[m])
+        perm[starts[m]:starts[m] + c] = order[src:src + c]
+        src += c
+    return perm, (starts // block).astype(np.int32)
 
 
 def build_visibility_tables(obs_point, obs_image, num_points, num_images):
@@ -199,7 +258,8 @@ def linearize(problem: RCSProblem, state: ParamState, spec, damping) -> Blocks:
 
         def to_full(jg, off):
             z = jnp.zeros((2, G), jg.dtype)
-            return jax.lax.dynamic_update_slice(z, jg, (0, off))
+            return jax.lax.dynamic_update_slice(
+                z, jg, (jnp.zeros((), off.dtype), off))
 
         Jg = jax.vmap(to_full)(Jg_cam, offs)
     Jg = Jg * p.free_global[None, None, :]
@@ -242,7 +302,7 @@ def schur_matvec(p: RCSProblem, b: Blocks, xc, xg):
     # z = Hpp^{-1} Hpx x  (gathered back per obs)
     y = _seg_point(p, jnp.einsum("nia,ni->na", b.Jp, t))
     z = jnp.einsum("pab,pb->pa", b.Hpp_inv, y)
-    u = jnp.einsum("nia,na->ni", b.PJp, z[p.obs_point])
+    u = jnp.einsum("nia,na->ni", b.PJp, _expand_point(p, z))
 
     tv = t - u
     out_c = _seg_image(p, jnp.einsum("nia,ni->na", b.Jc, tv))
@@ -254,7 +314,7 @@ def schur_matvec(p: RCSProblem, b: Blocks, xc, xg):
 def reduced_rhs(p: RCSProblem, b: Blocks):
     """rhs = bx - Hxp Hpp^{-1} bp."""
     z0 = jnp.einsum("pab,pb->pa", b.Hpp_inv, b.bp)
-    u0 = jnp.einsum("nia,na->ni", b.PJp, z0[p.obs_point])
+    u0 = jnp.einsum("nia,na->ni", b.PJp, _expand_point(p, z0))
     rc = b.bc - _seg_image(p, jnp.einsum("nia,ni->na", b.Jc, u0))
     rg = b.bg - jnp.einsum("nia,ni->a", b.Jg, u0)
     return rc, rg
@@ -264,7 +324,7 @@ def camera_block_preconditioner(p: RCSProblem, b: Blocks):
     """Exact 6x6 diagonal blocks of S (one observation per (point, image)
     pair makes the per-image correction exact): used as block-Jacobi."""
     Hpc = jnp.einsum("nia,nib->nab", b.Jp, b.PJc)  # [N, 3, 6]
-    corr = jnp.einsum("nab,nac,ncd->nbd", Hpc, b.Hpp_inv[p.obs_point], Hpc)
+    corr = jnp.einsum("nab,nac,ncd->nbd", Hpc, _expand_point(p, b.Hpp_inv), Hpc)
     Scc = _seg_image(p, jnp.einsum("nia,nib->nab", b.Jc, b.PJc) - corr)
     Scc = Scc + b.extra_c[:, :, None] * jnp.eye(6, dtype=Scc.dtype)
     return jnp.linalg.inv(Scc)

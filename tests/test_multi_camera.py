@@ -1,0 +1,96 @@
+"""Multi-camera networks: per-camera IO/distortion blocks through both the
+dense and the RCS path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bundle_adjustment_tpu import (
+    BundleAdjustment,
+    Camera,
+    EstimationState,
+    MatrixInversion,
+    ObjectCoordinate,
+)
+from bundle_adjustment_tpu.models.distortion import DistortionType
+from bundle_adjustment_tpu.models.layout import assign_columns
+from bundle_adjustment_tpu.models.problem import ParamState, compile_problem
+from bundle_adjustment_tpu.ops.residuals import predict_image_point
+from bundle_adjustment_tpu.parallel import rcs
+from bundle_adjustment_tpu.testing import look_at_wpk
+
+
+def _two_camera_scene(seed=0, noise=1e-4):
+    rng = np.random.default_rng(seed)
+    P = 30
+    pts = rng.uniform(-50, 50, (P, 3))
+    pts[:, 2] *= 0.2
+    coords = [ObjectCoordinate(str(i + 1), *pts[i]) for i in range(P)]
+
+    ios = [np.array([0.01, -0.02, -30.0]), np.array([-0.03, 0.02, -50.0])]
+    dists = [-1e-4, 5e-5]
+    cams = []
+    for ci in range(2):
+        cam = Camera(ci + 1, r0=8.0,
+                     distortion_types=(DistortionType.RADIAL_DISTORTION,))
+        cam.io.x0.value, cam.io.y0.value, cam.io.c.value = ios[ci]
+        cam.distortion(DistortionType.RADIAL_DISTORTION).add(1, dists[ci])
+        spec = cam.build_spec()
+        coeffs = np.zeros(spec.num_coefficients)
+        coeffs[spec.slot_index(DistortionType.RADIAL_DISTORTION, 1)] = dists[ci]
+        for m in range(4):
+            ang = 2 * np.pi * m / 4 + 0.3 * ci + 0.17 * m
+            radius = 200.0 * (0.8 + 0.1 * (m % 2))
+            pos = np.array([radius * np.cos(ang), radius * np.sin(ang),
+                            150.0 + 40.0 * (m % 3)])
+            w, p_, k = look_at_wpk(pos, np.zeros(3))
+            img = cam.add_image(m + 1)
+            img.eo.set(pos[0], pos[1], pos[2], w, p_, k + (m % 4) * np.pi / 2)
+            eo = np.array([pos[0], pos[1], pos[2], w, p_, k + (m % 4) * np.pi / 2])
+            for i, oc in enumerate(coords):
+                local = np.concatenate([pts[i], ios[ci], eo, coeffs])
+                xy = np.asarray(predict_image_point(jnp.asarray(local), spec, 8.0))
+                if np.abs(xy).max() > 40:
+                    continue
+                xy = xy + rng.normal(0, noise, 2)
+                img.add(oc, xy[0], xy[1], 1e-4, 1e-4)
+        cams.append(cam)
+    return cams, coords, pts
+
+
+def test_two_cameras_dense():
+    cams, coords, pts = _two_camera_scene()
+    adj = BundleAdjustment()
+    for c in cams:
+        adj.add(c)
+    adj.set_invert_normal_equation(MatrixInversion.REDUCED)
+    status = adj.estimate_model()
+    assert status == EstimationState.ERROR_FREE_ESTIMATION
+    # both cameras keep distinct IO
+    assert abs(cams[0].io.c.value - cams[1].io.c.value) > 10
+    # free network: distances preserved
+    est = np.array([[oc.x.value, oc.y.value, oc.z.value] for oc in coords])
+    d_est = np.linalg.norm(est[0] - est[5])
+    d_true = np.linalg.norm(pts[0] - pts[5])
+    assert np.isclose(d_est, d_true, rtol=2e-4)
+
+
+def test_two_cameras_rcs():
+    cams, coords, pts = _two_camera_scene()
+    for oc in coords[:3]:
+        for p in oc.params:
+            p.fixed = True
+    cs = compile_problem(cams, [], [], assign_columns(cams, [], []))
+    bp = cs.problem
+    assert bp.num_cameras == 2
+    rp = rcs.rcs_from_problem(bp, build_tables=False)
+    state = ParamState(*(jnp.asarray(a, jnp.float64) for a in cs.state))
+    for _ in range(15):
+        dxp, dxc, dxg, blocks, _ = rcs.lm_step(rp, state, bp.spec, 0.0,
+                                               cg_tol=1e-13, cg_maxiter=800)
+        state, mx = rcs.apply_step(state, rp, dxp, dxc, dxg)
+        if float(mx) < 1e-10:
+            break
+    assert float(mx) < 1e-10
+    # per-camera global blocks updated independently
+    io_est = np.asarray(state.io)
+    assert abs(io_est[0, 2] - io_est[1, 2]) > 10
