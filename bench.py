@@ -135,6 +135,7 @@ def main():
     num_points = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
     num_images = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     views = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+    use_pallas = "pallas" in sys.argv[4:]
     dtype = jnp.float32
 
     print(f"building problem: P={num_points} M={num_images} "
@@ -143,12 +144,27 @@ def main():
 
     damping = jnp.asarray(1e-4, dtype)
 
-    @jax.jit
-    def lm_iteration(st: ParamState):
-        dxp, dxc, dxg, blocks, it = rcs.lm_step(
-            problem, st, spec, damping, cg_tol=1e-5, cg_maxiter=50)
-        new_state, max_dx = rcs.apply_step(st, problem, dxp, dxc, dxg)
-        return new_state, max_dx, blocks.omega0, it
+    if use_pallas:
+        from bundle_adjustment_tpu.parallel import pallas_matvec
+
+        @jax.jit
+        def lm_iteration(st: ParamState):
+            b, rc, rg, Minv = rcs.prepare(problem, st, spec, damping)
+            pp = pallas_matvec.pack_blocks(b, problem, views=views)
+            mv = pallas_matvec.make_pallas_matvec(pp)
+            xc, xg, it = rcs.pcg(
+                problem, b, rc, rg, Minv, tol=1e-5, maxiter=50,
+                matvec=lambda c, g: mv(c, g, b.extra_c, b.extra_g))
+            dxp = rcs.back_substitute_points(problem, b, xc, xg)
+            new_state, max_dx = rcs.apply_step(st, problem, dxp, xc, xg)
+            return new_state, max_dx, b.omega0, it
+    else:
+        @jax.jit
+        def lm_iteration(st: ParamState):
+            dxp, dxc, dxg, blocks, it = rcs.lm_step(
+                problem, st, spec, damping, cg_tol=1e-5, cg_maxiter=50)
+            new_state, max_dx = rcs.apply_step(st, problem, dxp, dxc, dxg)
+            return new_state, max_dx, blocks.omega0, it
 
     t0 = time.time()
     state1, max_dx, om, it = lm_iteration(state)

@@ -76,15 +76,24 @@ def make_image_block_fn(problem: BundleProblem):
     s2 = problem.sigma2_apriori
 
     def blocks(state: ParamState):
+        from . import analytic as _analytic
+
         local = gather_local_params(state, obs_point, obs_image, cam_of_image)
         r0 = r0_all[cam_of_image[obs_image]]
 
-        def one(loc, r0_i, xy):
-            pred = predict_image_point(loc, spec, r0_i)
-            J = image_point_jacobian(loc, spec, r0_i)
-            return J, xy - pred
+        if _analytic.supports_spec(spec):
+            J, w = jax.vmap(
+                lambda loc, xy, r0_i:
+                _analytic.analytic_image_jacobian_and_residual(
+                    loc, xy, spec, r0_i)
+            )(local, obs_xy, r0)
+        else:
+            def one(loc, r0_i, xy):
+                pred = predict_image_point(loc, spec, r0_i)
+                J = image_point_jacobian(loc, spec, r0_i)
+                return J, xy - pred
 
-        J, w = jax.vmap(one)(local, r0, obs_xy)
+            J, w = jax.vmap(one)(local, r0, obs_xy)
         P2 = jax.vmap(lambda vx, vy, rho: image_weight_2x2(vx, vy, rho, s2))(
             obs_var[:, 0], obs_var[:, 1], obs_rho
         )

@@ -225,19 +225,29 @@ def rcs_from_problem(bp, dtype=jnp.float64, build_tables: bool = True) -> RCSPro
     )
 
 
-def linearize(problem: RCSProblem, state: ParamState, spec, damping) -> Blocks:
+def linearize(problem: RCSProblem, state: ParamState, spec, damping,
+              skip_image_reductions: bool = False) -> Blocks:
     p = problem
     P_, M_ = p.num_points, p.num_images
     local = gather_local_params(state, p.obs_point, p.obs_image, p.cam_of_image)
     cams = p.cam_of_image[p.obs_image]
     r0 = p.r0[cams]
 
-    def one(loc, r0_i, xy):
-        pred = predict_image_point(loc, spec, r0_i)
-        J = image_point_jacobian(loc, spec, r0_i)
-        return J, xy - pred
+    from ..ops import analytic as _analytic
 
-    J, w = jax.vmap(one)(local, r0, p.obs_xy)
+    if _analytic.supports_spec(spec):
+        # closed-form rows: far smaller compiled program than jacfwd
+        J, w = jax.vmap(
+            lambda loc, xy, r0_i:
+            _analytic.analytic_image_jacobian_and_residual(loc, xy, spec, r0_i)
+        )(local, p.obs_xy, r0)
+    else:
+        def one(loc, r0_i, xy):
+            pred = predict_image_point(loc, spec, r0_i)
+            J = image_point_jacobian(loc, spec, r0_i)
+            return J, xy - pred
+
+        J, w = jax.vmap(one)(local, r0, p.obs_xy)
     P2 = p.obs_weight
 
     # fixed parameters: mask Jacobian columns (array analogue of the
@@ -279,9 +289,15 @@ def linearize(problem: RCSProblem, state: ParamState, spec, damping) -> Blocks:
     Hpp_inv = jnp.linalg.inv(Hpp)
     bp = _seg_point(p, jnp.einsum("nia,ni->na", Jp, Pw))
 
-    Hcc_diag = _seg_image(p, jnp.einsum("nia,nib->nab", Jc, PJc))
-    extra_c = damping * jnp.diagonal(Hcc_diag, axis1=1, axis2=2) + (1.0 - p.free_eo)
-    bc = _seg_image(p, jnp.einsum("nia,ni->na", Jc, Pw))
+    if skip_image_reductions:
+        # bc / extra_c are produced by prepare()'s fused reduction
+        extra_c = jnp.zeros((M_, 6), J.dtype)
+        bc = jnp.zeros((M_, 6), J.dtype)
+    else:
+        Hcc_diag = _seg_image(p, jnp.einsum("nia,nib->nab", Jc, PJc))
+        extra_c = (damping * jnp.diagonal(Hcc_diag, axis1=1, axis2=2)
+                   + (1.0 - p.free_eo))
+        bc = _seg_image(p, jnp.einsum("nia,ni->na", Jc, Pw))
 
     Hgg_diag = jnp.einsum("nia,nia->a", Jg, PJg)
     extra_g = damping * Hgg_diag + (1.0 - p.free_global)
@@ -330,8 +346,14 @@ def camera_block_preconditioner(p: RCSProblem, b: Blocks):
     return jnp.linalg.inv(Scc)
 
 
-def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv_c, tol=1e-10, maxiter=200):
-    """Preconditioned CG on the implicit reduced system."""
+def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv_c, tol=1e-10, maxiter=200,
+        matvec=None):
+    """Preconditioned CG on the implicit reduced system.
+
+    ``matvec(xc, xg) -> (Sc, Sg)`` overrides the product (Pallas kernel)."""
+    if matvec is None:
+        def matvec(xc_, xg_):
+            return schur_matvec(p, b, xc_, xg_)
 
     def apply_M(rc_, rg_):
         return jnp.einsum("mab,mb->ma", Minv_c, rc_), rg_
@@ -353,7 +375,7 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv_c, tol=1e-10, maxiter=200):
 
     def body(carry):
         xc, xg, rc, rg, pc, pg, rz, it = carry
-        qc, qg = schur_matvec(p, b, pc, pg)
+        qc, qg = matvec(pc, pg)
         alpha = rz / dot(pc, pg, qc, qg)
         xc = xc + alpha * pc
         xg = xg + alpha * pg
@@ -389,15 +411,57 @@ def omega_at(p: RCSProblem, b: Blocks, dxp, dxc, dxg):
     return jnp.sum(v * jnp.einsum("nij,nj->ni", b.P2, v))
 
 
+def prepare(problem: RCSProblem, state: ParamState, spec, damping):
+    """Linearise and build everything the PCG needs, with ALL per-image
+    reductions fused into one lane-efficient pass:
+
+        [ Hcc diag terms | bc | Hxp Hpp^{-1} bp terms | Scc blocks ]
+
+    concatenated to a single [N, 54] reduction (minor dims of 6 alone run
+    the TPU vector lanes at ~5% occupancy; batched they reach ~42%, and the
+    reduction machinery runs once instead of four times).
+
+    Returns (blocks, rc, rg, Minv_c)."""
+    p = problem
+    b = linearize(p, state, spec, damping, skip_image_reductions=True)
+
+    z0 = jnp.einsum("pab,pb->pa", b.Hpp_inv, b.bp)
+    u0 = jnp.einsum("nia,na->ni", b.PJp, _expand_point(p, z0))
+
+    Pw = jnp.einsum("nij,nj->ni", b.P2, b.w)
+    bc_in = jnp.einsum("nia,ni->na", b.Jc, Pw)  # [N, 6]
+    JPJ = jnp.einsum("nia,nib->nab", b.Jc, b.PJc)  # [N, 6, 6] (Hcc terms)
+    Hpc = jnp.einsum("nia,nib->nab", b.Jp, b.PJc)  # [N, 3, 6]
+    corr = jnp.einsum("nab,nac,ncd->nbd", Hpc, _expand_point(p, b.Hpp_inv), Hpc)
+    Scc_in = (JPJ - corr).reshape(-1, 36)
+    rc_in = jnp.einsum("nia,ni->na", b.Jc, u0)  # [N, 6]
+    hcc_diag_in = jnp.einsum("nia,nia->na", b.Jc, b.PJc)  # [N, 6]
+
+    big = jnp.concatenate([bc_in, hcc_diag_in, rc_in, Scc_in], axis=1)
+    red = _seg_image(p, big)  # ONE fused image reduction [M, 54]
+
+    bc = red[:, :6]
+    extra_c = damping * red[:, 6:12] + (1.0 - p.free_eo)
+    rc = bc - red[:, 12:18]
+    Scc = red[:, 18:].reshape(p.num_images, 6, 6)
+    Scc = Scc + extra_c[:, :, None] * jnp.eye(6, dtype=Scc.dtype)
+    Minv = jnp.linalg.inv(Scc)
+    b = b._replace(bc=bc, extra_c=extra_c)
+
+    rg = b.bg - jnp.einsum("nia,ni->a", b.Jg, u0)
+    return b, rc, rg, Minv
+
+
 def lm_step(problem: RCSProblem, state: ParamState, spec, damping,
-            cg_tol=1e-10, cg_maxiter=200):
+            cg_tol=1e-10, cg_maxiter=200, matvec=None):
     """One full LM inner solve: linearise, reduce, PCG, back-substitute.
 
+    ``matvec``: optional override for the S@x product (e.g. the fused Pallas
+    kernel from parallel/pallas_matvec.py); defaults to the XLA formulation.
     Returns (dxp [P,3], dxc [M,6], dxg [G], blocks, cg_iterations)."""
-    b = linearize(problem, state, spec, damping)
-    rc, rg = reduced_rhs(problem, b)
-    Minv = camera_block_preconditioner(problem, b)
-    xc, xg, it = pcg(problem, b, rc, rg, Minv, tol=cg_tol, maxiter=cg_maxiter)
+    b, rc, rg, Minv = prepare(problem, state, spec, damping)
+    xc, xg, it = pcg(problem, b, rc, rg, Minv, tol=cg_tol, maxiter=cg_maxiter,
+                     matvec=matvec)
     dxp = back_substitute_points(problem, b, xc, xg)
     return dxp, xc, xg, b, it
 
