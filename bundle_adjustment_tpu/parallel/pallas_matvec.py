@@ -94,49 +94,64 @@ def pack_blocks(b, problem, views: int) -> PackedProblem:
 
 def _matvec_kernel(xc_ref, xg_ref, packed_ref, img_ref, hpp_ref,
                    outc_ref, outg_ref, *, views: int, g: int, m_pad: int,
-                   extra_slots: int):
+                   g_pad: int):
+    """Pure-2D formulation (Mosaic supports neither minor-dim reshapes nor
+    multi-dim contractions): every small contraction is column arithmetic,
+    camera gather/scatter and the point-block reduce/broadcast are one-hot
+    matmuls on the MXU."""
     rows = packed_ref.shape[0]
     pb = rows // views
     f32 = jnp.float32
 
     pk = packed_ref[:]  # [rows, 128]
-    Jp = pk[:, 0:6].reshape(rows, 2, 3)
-    PJp = pk[:, 6:12].reshape(rows, 2, 3)
-    Jc = pk[:, 12:24].reshape(rows, 2, 6)
-    PJc = pk[:, 24:36].reshape(rows, 2, 6)
-    Jg = pk[:, 36:36 + 2 * g].reshape(rows, 2, g)
-    PJg = pk[:, 36 + 2 * g:36 + 4 * g].reshape(rows, 2, g)
+    # packed columns: Jp(i0:0-2, i1:3-5) PJp(6-11) Jc(12-23) PJc(24-35)
+    #                 Jg(36..36+2g) PJg(36+2g..36+4g)
 
-    # one-hot over images (MXU gather)
+    # one-hot over images (camera gather via MXU)
     img = img_ref[:]  # [rows, 1] int32
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (rows, m_pad), 1)
     onehot = (iota_m == img).astype(f32)  # [rows, m_pad]
 
     xc = xc_ref[:]  # [m_pad, 8]
     xcr = jnp.dot(onehot, xc, preferred_element_type=f32)[:, :6]  # [rows, 6]
-    xg = xg_ref[0, :g]  # [g]
+    xg = xg_ref[:]  # [1, g_pad]
 
-    # Mosaic-friendly contractions: broadcast-multiply + axis reductions
-    # (multi-dim einsum contractions are not lowerable on TPU Pallas).
-    t = (PJc * xcr[:, None, :]).sum(axis=2)  # [rows, 2]
-    t = t + (PJg * xg[None, None, :]).sum(axis=2)
+    # t_i = sum_a PJc[i,a] xcr[a] + sum_k PJg[i,k] xg[k]
+    t0 = jnp.sum(pk[:, 24:30] * xcr, axis=1, keepdims=True)  # [rows, 1]
+    t1 = jnp.sum(pk[:, 30:36] * xcr, axis=1, keepdims=True)
+    gx = xg[:, :g]  # [1, g]
+    t0 = t0 + jnp.sum(pk[:, 36 + 2 * g:36 + 3 * g] * gx, axis=1, keepdims=True)
+    t1 = t1 + jnp.sum(pk[:, 36 + 3 * g:36 + 4 * g] * gx, axis=1, keepdims=True)
 
-    # per-point reduction: y[p] = sum_v Jp^T t  (block-local reshape)
-    jt = (Jp * t[:, :, None]).sum(axis=1)  # [rows, 3]
-    y = jt.reshape(pb, views, 3).sum(axis=1)  # [pb, 3]
-    h = hpp_ref[:]  # [pb, 16]
-    Hi = h[:, :9].reshape(pb, 3, 3)
-    z = (Hi * y[:, None, :]).sum(axis=2)  # [pb, 3]
-    zr = jnp.broadcast_to(z[:, None, :], (pb, views, 3)).reshape(rows, 3)
+    # per-point reduction via point one-hot (rows -> pb), then Hpp^{-1}
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (rows, pb), 0) // views
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (rows, pb), 1)
+    ppb = (iota_p == iota_c).astype(f32)  # [rows, pb]
 
-    tv = t - (PJp * zr[:, None, :]).sum(axis=2)  # [rows, 2]
+    jt = pk[:, 0:3] * t0 + pk[:, 3:6] * t1  # [rows, 3] (Jp^T t)
+    y = jnp.dot(ppb.T, jt, preferred_element_type=f32)  # [pb, 3]
 
-    qc = (Jc * tv[:, :, None]).sum(axis=1)  # [rows, 6]
-    qc8 = jnp.pad(qc, ((0, 0), (0, 2)))
+    h = hpp_ref[:]  # [pb, 16] row-major 3x3 in cols 0..8
+    z0 = jnp.sum(h[:, 0:3] * y, axis=1, keepdims=True)
+    z1 = jnp.sum(h[:, 3:6] * y, axis=1, keepdims=True)
+    z2 = jnp.sum(h[:, 6:9] * y, axis=1, keepdims=True)
+    z = jnp.concatenate([z0, z1, z2], axis=1)  # [pb, 3]
+    zr = jnp.dot(ppb, z, preferred_element_type=f32)  # [rows, 3]
+
+    u0 = jnp.sum(pk[:, 6:9] * zr, axis=1, keepdims=True)
+    u1 = jnp.sum(pk[:, 9:12] * zr, axis=1, keepdims=True)
+    tv0 = t0 - u0
+    tv1 = t1 - u1
+
+    qc = pk[:, 12:18] * tv0 + pk[:, 18:24] * tv1  # [rows, 6] (Jc^T tv)
+    qc8 = jnp.concatenate([qc, jnp.zeros((rows, 2), f32)], axis=1)
     contrib_c = jnp.dot(onehot.T, qc8, preferred_element_type=f32)  # [m_pad, 8]
 
-    qg = (Jg * tv[:, :, None]).sum(axis=(0, 1))  # [g]
-    qg_pad = jnp.pad(qg, (0, extra_slots))[None, :]  # [1, g_pad]
+    qg = (pk[:, 36:36 + g] * tv0
+          + pk[:, 36 + g:36 + 2 * g] * tv1)  # [rows, g] (Jg^T tv)
+    qg_sum = jnp.sum(qg, axis=0, keepdims=True)  # [1, g]
+    qg_pad = jnp.concatenate(
+        [qg_sum, jnp.zeros((1, g_pad - g), f32)], axis=1)
 
     step = pl.program_id(0)
 
@@ -145,11 +160,11 @@ def _matvec_kernel(xc_ref, xg_ref, packed_ref, img_ref, hpp_ref,
         outc_ref[:] = jnp.zeros_like(outc_ref)
         outg_ref[:] = jnp.zeros_like(outg_ref)
 
-    outc_ref[:] += contrib_c
-    outg_ref[:] += qg_pad
+    outc_ref[:] += contrib_c.astype(outc_ref.dtype)
+    outg_ref[:] += qg_pad.astype(outg_ref.dtype)
 
 
-def make_pallas_matvec(pp: PackedProblem, block_points: int = 256):
+def make_pallas_matvec(pp: PackedProblem, block_points: int = 128):
     """Returns fn(xc [M,6], xg [G], extra_c [M,6], extra_g [G]) -> (out_c,
     out_g) computing the full S @ x product."""
     P, V, G = pp.num_points, pp.views, pp.g
@@ -166,8 +181,7 @@ def make_pallas_matvec(pp: PackedProblem, block_points: int = 256):
     grid = (P // block_points,)
 
     kernel = functools.partial(
-        _matvec_kernel, views=V, g=G, m_pad=m_pad,
-        extra_slots=g_pad - G)
+        _matvec_kernel, views=V, g=G, m_pad=m_pad, g_pad=g_pad)
 
     call = pl.pallas_call(
         kernel,
