@@ -195,6 +195,16 @@ class BundleAdjustment:
     def get_object_coordinates(self):
         return self.compiled.object_coordinates
 
+    def get_image_residuals(self) -> np.ndarray:
+        """Post-fit image-coordinate residuals v = observed - predicted
+        [N, 2] at the estimated parameters (diagnostic; the reference only
+        exposes Omega, survey F9)."""
+        from ..ops.assembly import make_image_block_fn
+
+        blocks_fn = make_image_block_fn(self.problem)
+        _, w, _ = blocks_fn(self.state)
+        return np.asarray(w)
+
     # ------------------------------------------------------------- kernels
     def _build_kernels(self) -> _Kernels:
         p = self.problem
