@@ -460,6 +460,10 @@ def lm_step(problem: RCSProblem, state: ParamState, spec, damping,
     kernel from parallel/pallas_matvec.py); defaults to the XLA formulation.
     Returns (dxp [P,3], dxc [M,6], dxg [G], blocks, cg_iterations)."""
     b, rc, rg, Minv = prepare(problem, state, spec, damping)
+    # Materialise the linearisation before the CG loop: without the barrier
+    # XLA fuses block production into the while_loop body and re-computes
+    # them every CG iteration (~3x the whole LM step at 100k points).
+    b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
     xc, xg, it = pcg(problem, b, rc, rg, Minv, tol=cg_tol, maxiter=cg_maxiter,
                      matvec=matvec)
     dxp = back_substitute_points(problem, b, xc, xg)
