@@ -54,17 +54,23 @@ def _coupling_columns(problem: rcs.RCSProblem, blocks: rcs.Blocks, point_ids):
     return Cc, Cg
 
 
-def _pcg_multi(problem, blocks, Rc, Rg, Minv_c, tol=1e-8, maxiter=400):
+def _pcg_multi(problem, blocks, Rc, Rg, Minv, tol=1e-8, maxiter=400):
     """Batched PCG: solve S X = R for R rhs simultaneously.
 
     Rc [R, M, 6], Rg [R, G]; each rhs runs an independent CG (per-rhs alpha/
-    beta) — vectorised with a batched implicit matvec."""
+    beta) — vectorised with a batched implicit matvec.  ``Minv`` is a
+    `rcs.Precond` (camera + global blocks) or a bare [M, 6, 6] array."""
 
     def matvec(xc, xg):
         return jax.vmap(lambda c, g: rcs.schur_matvec(problem, blocks, c, g))(xc, xg)
 
-    def apply_M(rc_, rg_):
-        return jnp.einsum("mab,rmb->rma", Minv_c, rc_), rg_
+    if isinstance(Minv, rcs.Precond):
+        def apply_M(rc_, rg_):
+            return (jnp.einsum("mab,rmb->rma", Minv.Minv_c, rc_),
+                    jnp.einsum("gh,rh->rg", Minv.Minv_g, rg_))
+    else:
+        def apply_M(rc_, rg_):
+            return jnp.einsum("mab,rmb->rma", Minv, rc_), rg_
 
     def dot(ac, ag, bc, bg):  # per-rhs inner products [R]
         return (jnp.sum(ac * bc, axis=(1, 2)) + jnp.sum(ag * bg, axis=1))
@@ -111,7 +117,9 @@ def point_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
     Returns Q [k, 3, 3] (unscaled cofactor; multiply by the a-posteriori
     variance of unit weight for the dispersion)."""
     point_ids = jnp.asarray(point_ids)
-    Minv = rcs.camera_block_preconditioner(problem, blocks)
+    Minv = rcs.Precond(
+        Minv_c=rcs.camera_block_preconditioner(problem, blocks),
+        Minv_g=rcs.global_block_preconditioner(problem, blocks))
     Cc, Cg = _coupling_columns(problem, blocks, point_ids)  # [k,M,6,3],[k,G,3]
     k = Cc.shape[0]
 
@@ -132,7 +140,9 @@ def camera_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
     """Exact 6x6 posterior cofactor blocks of selected images' EO:
     rows of S^{-1} restricted to the image's 6 columns."""
     image_ids = np.asarray(image_ids)
-    Minv = rcs.camera_block_preconditioner(problem, blocks)
+    Minv = rcs.Precond(
+        Minv_c=rcs.camera_block_preconditioner(problem, blocks),
+        Minv_g=rcs.global_block_preconditioner(problem, blocks))
     k = image_ids.shape[0]
     M = problem.num_images
     G = blocks.Jg.shape[2]

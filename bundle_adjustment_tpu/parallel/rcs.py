@@ -346,17 +346,43 @@ def camera_block_preconditioner(p: RCSProblem, b: Blocks):
     return jnp.linalg.inv(Scc)
 
 
-def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv_c, tol=1e-10, maxiter=200,
+class Precond(NamedTuple):
+    """Block preconditioner of the reduced system: exact 6x6 camera blocks
+    plus the exact (small, dense) global IO/distortion block.  The global
+    block couples every observation; leaving it unpreconditioned costs ~5x
+    in CG iterations (measured: 375 -> 78 to 1e-5 at 20k points)."""
+
+    Minv_c: jnp.ndarray  # [M, 6, 6]
+    Minv_g: jnp.ndarray  # [G, G]
+
+
+def global_block_preconditioner(p: RCSProblem, b: Blocks):
+    """Exact global diagonal block of S, inverted:
+    Sgg = Hgg - Hgp Hpp^{-1} Hpg with Hpg accumulated per point."""
+    Hgg = jnp.einsum("nia,nib->ab", b.Jg, b.PJg) + jnp.diag(b.extra_g)
+    Hpg = _seg_point(p, jnp.einsum("nia,nib->nab", b.Jp, b.PJg))
+    Sgg = Hgg - jnp.einsum("pag,pab,pbh->gh", Hpg, b.Hpp_inv, Hpg)
+    return jnp.linalg.inv(Sgg)
+
+
+def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
         matvec=None):
     """Preconditioned CG on the implicit reduced system.
 
+    ``Minv`` is either a `Precond` (camera + global blocks) or a bare
+    [M, 6, 6] camera-block array (global block treated as identity).
     ``matvec(xc, xg) -> (Sc, Sg)`` overrides the product (Pallas kernel)."""
     if matvec is None:
         def matvec(xc_, xg_):
             return schur_matvec(p, b, xc_, xg_)
 
-    def apply_M(rc_, rg_):
-        return jnp.einsum("mab,mb->ma", Minv_c, rc_), rg_
+    if isinstance(Minv, Precond):
+        def apply_M(rc_, rg_):
+            return (jnp.einsum("mab,mb->ma", Minv.Minv_c, rc_),
+                    Minv.Minv_g @ rg_)
+    else:
+        def apply_M(rc_, rg_):
+            return jnp.einsum("mab,mb->ma", Minv, rc_), rg_
 
     def dot(ac, ag, bc_, bg_):
         return jnp.sum(ac * bc_) + jnp.sum(ag * bg_)
@@ -421,7 +447,7 @@ def prepare(problem: RCSProblem, state: ParamState, spec, damping):
     the TPU vector lanes at ~5% occupancy; batched they reach ~42%, and the
     reduction machinery runs once instead of four times).
 
-    Returns (blocks, rc, rg, Minv_c)."""
+    Returns (blocks, rc, rg, Precond)."""
     p = problem
     b = linearize(p, state, spec, damping, skip_image_reductions=True)
 
@@ -445,10 +471,12 @@ def prepare(problem: RCSProblem, state: ParamState, spec, damping):
     rc = bc - red[:, 12:18]
     Scc = red[:, 18:].reshape(p.num_images, 6, 6)
     Scc = Scc + extra_c[:, :, None] * jnp.eye(6, dtype=Scc.dtype)
-    Minv = jnp.linalg.inv(Scc)
+    Minv_c = jnp.linalg.inv(Scc)
     b = b._replace(bc=bc, extra_c=extra_c)
 
     rg = b.bg - jnp.einsum("nia,ni->a", b.Jg, u0)
+    Minv = Precond(Minv_c=Minv_c,
+                   Minv_g=global_block_preconditioner(p, b))
     return b, rc, rg, Minv
 
 

@@ -144,8 +144,18 @@ def make_spmd_lm_step(problem: rcs.RCSProblem, spec, mesh: Mesh,
         Scc = Scc + extra_c[:, :, None] * jnp.eye(6, dtype=Scc.dtype)
         Minv = jnp.linalg.inv(Scc)
 
+        # exact global (IO/distortion) block of S (psum'd over shards)
+        Hgg = jax.lax.psum(
+            jnp.einsum("nia,nib->ab", bg_blocks.Jg, bg_blocks.PJg), AXIS
+        ) + jnp.diag(extra_g)
+        Hpg = jax.lax.psum(jax.ops.segment_sum(
+            jnp.einsum("nia,nib->nab", bg_blocks.Jp, bg_blocks.PJg),
+            obs_point, num_segments=problem.num_points), AXIS)
+        Sgg = Hgg - jnp.einsum("pag,pab,pbh->gh", Hpg, Hpp_inv, Hpg)
+        Minv_g = jnp.linalg.inv(Sgg)
+
         def apply_M(rc_, rg_):
-            return jnp.einsum("mab,mb->ma", Minv, rc_), rg_
+            return jnp.einsum("mab,mb->ma", Minv, rc_), Minv_g @ rg_
 
         def dot(ac, ag, bc_, bg_):
             return jnp.sum(ac * bc_) + jnp.sum(ag * bg_)
