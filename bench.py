@@ -135,7 +135,11 @@ def main():
     num_points = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
     num_images = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     views = int(sys.argv[3]) if len(sys.argv) > 3 else 12
-    use_pallas = "pallas" in sys.argv[4:]
+    # path selection: default = feature-major engine with the Pallas matvec;
+    # "xla" = engine with the XLA matvec; "legacy"/"legacy-pallas" = the
+    # block-layout rcs path (kept for comparison)
+    mode = sys.argv[4] if len(sys.argv) > 4 else "engine"
+    use_pallas = mode == "pallas"
     dtype = jnp.float32
 
     print(f"building problem: P={num_points} M={num_images} "
@@ -144,7 +148,7 @@ def main():
 
     damping = jnp.asarray(1e-4, dtype)
 
-    if use_pallas:
+    if mode == "legacy-pallas":
         from bundle_adjustment_tpu.parallel import pallas_matvec
 
         @jax.jit
@@ -158,11 +162,24 @@ def main():
             dxp = rcs.back_substitute_points(problem, b, xc, xg)
             new_state, max_dx = rcs.apply_step(st, problem, dxp, xc, xg)
             return new_state, max_dx, b.omega0, it
-    else:
+    elif mode == "legacy":
         @jax.jit
         def lm_iteration(st: ParamState):
             dxp, dxc, dxg, blocks, it = rcs.lm_step(
                 problem, st, spec, damping, cg_tol=1e-5, cg_maxiter=50)
+            new_state, max_dx = rcs.apply_step(st, problem, dxp, dxc, dxg)
+            return new_state, max_dx, blocks.omega0, it
+    else:  # feature-major engine (default); "xla" disables the kernel
+        from bundle_adjustment_tpu.parallel import engine
+
+        problem, state, _ = engine.pad_problem(problem, state)
+        fmp = engine.fm_problem(problem)
+
+        @jax.jit
+        def lm_iteration(st: ParamState):
+            dxp, dxc, dxg, blocks, it = engine.lm_step(
+                fmp, st, spec, damping, cg_tol=1e-5, cg_maxiter=100,
+                use_pallas=(mode != "xla"))
             new_state, max_dx = rcs.apply_step(st, problem, dxp, dxc, dxg)
             return new_state, max_dx, blocks.omega0, it
 

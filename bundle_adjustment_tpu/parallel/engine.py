@@ -1,0 +1,476 @@
+"""Feature-major RCS engine: the TPU fast path of the large-scale solver.
+
+Same mathematics as `parallel/rcs.py` (point-eliminated reduced camera
+system, implicit-Schur PCG with camera-block + global-block
+preconditioning), re-laid-out for the TPU memory system: every
+per-observation quantity is a **feature row of length N** (N on the
+128-wide lane axis) instead of a [N, 2, k] block tensor.  TPU tiling pads
+the two minor dims to (8, 128), so the block layout costs 12-64x its
+logical bytes in HBM capacity *and* bandwidth; rows cost ~1x.  Measured on
+v5e: the XLA Schur matvec drops ~10x and the whole LM step fits in a
+fraction of HBM, unlocking the 1M-point configuration (BASELINE.json
+config 5) on a single chip.
+
+Reduction strategy (all scatter-free):
+  per point : uniform point-major reshape [P, V] -> sum over views
+  per image : static permutation to image-sorted order (pad row N), 512-row
+              block sums, cumsum-diff over block boundaries
+  global    : plain row reductions / one [F, N] @ [N, F] MXU matmul
+
+The reference semantics preserved here are those of rcs.py (survey F1-F9
+mapping); tests pin this engine against the block-layout path bit-for-bit
+modulo f32 summation order.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.problem import ParamState
+from . import rcs
+
+
+class FMProblem(NamedTuple):
+    """Feature-major problem arrays (static per adjustment)."""
+
+    obs_point: jnp.ndarray   # [N] int32 (point-major, uniform V per point)
+    obs_image: jnp.ndarray   # [N] int32
+    cam_of_image: jnp.ndarray  # [M] int32
+    obs_x: jnp.ndarray       # [N]
+    obs_y: jnp.ndarray       # [N]
+    wxx: jnp.ndarray         # [N]  2x2 weight rows (sigma0^2 Sigma^{-1})
+    wxy: jnp.ndarray         # [N]
+    wyy: jnp.ndarray         # [N]
+    r0: jnp.ndarray          # [C]
+    num_points: int
+    num_images: int
+    views: int               # uniform views per point
+    free_point: jnp.ndarray  # [3, P] rows
+    free_eo: jnp.ndarray     # [M, 6]
+    free_global: jnp.ndarray  # [G]
+    img_perm: jnp.ndarray    # [Nip] int32 (pad entries == N)
+    img_block_starts: jnp.ndarray  # [M+1] int32 (block units)
+
+
+class FMBlocks(NamedTuple):
+    """Linearisation in feature rows.  J*/PJ* are tuples of [N] rows."""
+
+    Jp: tuple        # 6 rows: (i, a) for i in (x,y), a in (X,Y,Z)
+    PJp: tuple       # 6 rows
+    Jc: tuple        # 12 rows: (i, a) over EO
+    PJc: tuple       # 12 rows
+    Jg: tuple        # 2G rows: (i, g) over IO+distortion
+    PJg: tuple       # 2G rows
+    w: tuple         # 2 rows (misclosure)
+    Pw: tuple        # 2 rows
+    Hpp_inv: tuple   # 6 rows [P]: symmetric 3x3 inverse (00,01,02,11,12,22)
+    bp: tuple        # 3 rows [P]
+    bc: jnp.ndarray  # [M, 6]
+    bg: jnp.ndarray  # [G]
+    extra_c: jnp.ndarray  # [M, 6]
+    extra_g: jnp.ndarray  # [G]
+    omega0: jnp.ndarray   # scalar
+
+
+def fm_problem(p: rcs.RCSProblem) -> FMProblem:
+    """Convert an RCSProblem (uniform point-major layout required)."""
+    if p.point_uniform is None:
+        raise ValueError("engine requires the uniform point-major layout")
+    if p.img_perm is None:
+        raise ValueError("engine requires the blocked image layout")
+    w = p.obs_weight
+    return FMProblem(
+        obs_point=p.obs_point, obs_image=p.obs_image,
+        cam_of_image=p.cam_of_image,
+        obs_x=jnp.asarray(p.obs_xy[:, 0]),
+        obs_y=jnp.asarray(p.obs_xy[:, 1]),
+        wxx=jnp.asarray(w[:, 0, 0]),
+        wxy=jnp.asarray(w[:, 0, 1]),
+        wyy=jnp.asarray(w[:, 1, 1]),
+        r0=p.r0, num_points=p.num_points, num_images=p.num_images,
+        views=p.point_uniform,
+        free_point=jnp.asarray(p.free_point.T),
+        free_eo=p.free_eo, free_global=p.free_global,
+        img_perm=p.img_perm, img_block_starts=p.img_block_starts,
+    )
+
+
+def pad_problem(problem: rcs.RCSProblem, state: ParamState,
+                multiple: int = 128):
+    """Pad the point count to a multiple of ``multiple`` (Mosaic lane-block
+    constraint of the Pallas kernels) with zero-weight dummy points.
+
+    Dummy points copy point 0's coordinates (finite geometry, so the
+    Jacobian rows are finite; their zero weights null every contribution)
+    and are marked fixed, so Hpp gets a unit diagonal and dx stays 0.
+    Returns (padded RCSProblem, padded ParamState, P_pad).
+    """
+    P = problem.num_points
+    V = problem.point_uniform
+    if V is None:
+        raise ValueError("pad_problem requires the uniform point-major layout")
+    P_pad = -(-P // multiple) * multiple
+    if P_pad == P:
+        return problem, state, P
+    extra = P_pad - P
+    n_extra = extra * V
+    dt = problem.obs_xy.dtype
+
+    def cat(a, b):
+        return jnp.concatenate([a, b])
+
+    obs_point = cat(problem.obs_point,
+                    jnp.repeat(P + jnp.arange(extra, dtype=jnp.int32), V))
+    obs_image = cat(problem.obs_image, jnp.zeros(n_extra, jnp.int32))
+    obs_xy = cat(problem.obs_xy, jnp.zeros((n_extra, 2), dt))
+    obs_weight = cat(problem.obs_weight, jnp.zeros((n_extra, 2, 2), dt))
+    free_point = cat(problem.free_point, jnp.zeros((extra, 3), dt))
+
+    import numpy as np
+
+    img_perm, img_bs = rcs.build_image_block_layout(
+        np.asarray(obs_image), problem.num_images)
+    problem = problem._replace(
+        obs_point=obs_point, obs_image=obs_image, obs_xy=obs_xy,
+        obs_weight=obs_weight, free_point=free_point, num_points=P_pad,
+        img_perm=jnp.asarray(img_perm), img_block_starts=jnp.asarray(img_bs),
+        point2obs=None, img2obs=None,
+    )
+    state = state._replace(points=cat(
+        state.points, jnp.broadcast_to(state.points[0], (extra, 3))))
+    return problem, state, P
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+
+def _point_sum(p: FMProblem, row):
+    """[N] -> [P] over the uniform point-major views."""
+    return row.reshape(p.num_points, p.views).sum(axis=1)
+
+
+def _point_expand(p: FMProblem, col):
+    """[P] -> [N] broadcast over views."""
+    return jnp.broadcast_to(
+        col[:, None], (p.num_points, p.views)).reshape(-1)
+
+
+def _image_sum_stack(p: FMProblem, rows):
+    """Per-image sums of F feature rows: returns [M, F].
+
+    One row-gather into image-sorted order ([Nip, F]) + 512-block sums +
+    cumsum-diff; identical numerics to rcs._seg_image."""
+    x = jnp.stack(rows, axis=1)  # [N, F]
+    xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+    xi = xp[p.img_perm]  # [Nip, F]
+    nb = xi.shape[0] // rcs.IMG_BLOCK
+    bl = xi.reshape(nb, rcs.IMG_BLOCK, -1).sum(axis=1)
+    cs = jnp.concatenate([jnp.zeros((1, bl.shape[1]), x.dtype),
+                          jnp.cumsum(bl, axis=0)])
+    return cs[p.img_block_starts[1:]] - cs[p.img_block_starts[:-1]]
+
+
+def _sym3_inverse(m00, m01, m02, m11, m12, m22):
+    """Closed-form symmetric 3x3 inverse rows (adjugate / det)."""
+    i00 = m11 * m22 - m12 * m12
+    i01 = m02 * m12 - m01 * m22
+    i02 = m01 * m12 - m02 * m11
+    i11 = m00 * m22 - m02 * m02
+    i12 = m01 * m02 - m00 * m12
+    i22 = m00 * m11 - m01 * m01
+    det = m00 * i00 + m01 * i01 + m02 * i02
+    inv_det = 1.0 / det
+    return (i00 * inv_det, i01 * inv_det, i02 * inv_det,
+            i11 * inv_det, i12 * inv_det, i22 * inv_det)
+
+
+def _hinv_apply(H, a0, a1, a2):
+    """(6-row symmetric 3x3) @ [3] rows."""
+    h00, h01, h02, h11, h12, h22 = H
+    return (h00 * a0 + h01 * a1 + h02 * a2,
+            h01 * a0 + h11 * a1 + h12 * a2,
+            h02 * a0 + h12 * a1 + h22 * a2)
+
+
+# ---------------------------------------------------------------------------
+# linearisation
+# ---------------------------------------------------------------------------
+
+def linearize(p: FMProblem, state: ParamState, spec, damping) -> FMBlocks:
+    from ..ops import fm
+
+    P_, V = p.num_points, p.views
+    pts = state.points
+    X = _point_expand(p, pts[:, 0])
+    Y = _point_expand(p, pts[:, 1])
+    Z = _point_expand(p, pts[:, 2])
+
+    eo = state.eo
+    eog = [eo[:, a][p.obs_image] for a in range(6)]
+
+    C = state.io.shape[0]
+    K = state.dist.shape[1]
+    G = C * (3 + K)
+    if C == 1:
+        iog = [jnp.broadcast_to(state.io[0, a], X.shape) for a in range(3)]
+        cg = [jnp.broadcast_to(state.dist[0, k], X.shape) for k in range(K)]
+        r0 = jnp.broadcast_to(p.r0[0], X.shape)
+        cams = None
+    else:
+        cams = p.cam_of_image[p.obs_image]
+        iog = [state.io[:, a][cams] for a in range(3)]
+        cg = [state.dist[:, k][cams] for k in range(K)]
+        r0 = p.r0[cams]
+
+    rows_x, rows_y, pred_x, pred_y = fm.jacobian_rows(
+        X, Y, Z, iog[0], iog[1], iog[2],
+        eog[0], eog[1], eog[2], eog[3], eog[4], eog[5], cg, spec, r0)
+    w0 = p.obs_x - pred_x
+    w1 = p.obs_y - pred_y
+
+    # fixed-parameter masks (column == -2 protocol of the dense layout)
+    fp = [_point_expand(p, p.free_point[a]) for a in range(3)]
+    fe = [p.free_eo[:, a][p.obs_image] for a in range(6)]
+
+    Jp = tuple(rows_x[a] * fp[a] for a in range(3)) \
+        + tuple(rows_y[a] * fp[a] for a in range(3))
+    Jc = tuple(rows_x[6 + a] * fe[a] for a in range(6)) \
+        + tuple(rows_y[6 + a] * fe[a] for a in range(6))
+
+    # global rows: per camera offset layout [io(3) + dist(K)] * C
+    gx = [rows_x[5]] + [rows_x[12 + k] for k in range(K)]
+    gy = [rows_y[5]] + [rows_y[12 + k] for k in range(K)]
+    # x0 / y0 identity entries occupy global slots 0 / 1
+    one = jnp.ones_like(X)
+    zero = jnp.zeros_like(X)
+    gx = [one, zero] + gx
+    gy = [zero, one] + gy
+    if C == 1:
+        fg = p.free_global
+        Jg = tuple(gx[g] * fg[g] for g in range(G)) \
+            + tuple(gy[g] * fg[g] for g in range(G))
+    else:
+        # mask rows to the owning camera (zero elsewhere); global vector is
+        # the concatenation over cameras
+        Jg_list = []
+        for i, rows in ((0, gx), (1, gy)):
+            for c in range(C):
+                sel = (cams == c).astype(X.dtype)
+                for g in range(3 + K):
+                    Jg_list.append(rows[g] * sel * p.free_global[c * (3 + K) + g])
+        Jg = tuple(Jg_list)
+
+    # weight application: PJ = W2x2 J  (correlated x/y,
+    # PartialDerivativeFactory.java:313-319)
+    def apply_w(rows):
+        n = len(rows) // 2
+        return tuple(p.wxx * rows[a] + p.wxy * rows[n + a] for a in range(n)) \
+            + tuple(p.wxy * rows[a] + p.wyy * rows[n + a] for a in range(n))
+
+    PJp = apply_w(Jp)
+    PJc = apply_w(Jc)
+    PJg = apply_w(Jg)
+    Pw = (p.wxx * w0 + p.wxy * w1, p.wxy * w0 + p.wyy * w1)
+    omega0 = jnp.sum(w0 * Pw[0] + w1 * Pw[1])
+
+    # point blocks
+    def hpp(a, b):
+        return _point_sum(p, Jp[a] * PJp[b] + Jp[3 + a] * PJp[3 + b])
+
+    m00, m01, m02 = hpp(0, 0), hpp(0, 1), hpp(0, 2)
+    m11, m12, m22 = hpp(1, 1), hpp(1, 2), hpp(2, 2)
+    fpc = p.free_point
+    e0 = damping * m00 + (1.0 - fpc[0])
+    e1 = damping * m11 + (1.0 - fpc[1])
+    e2 = damping * m22 + (1.0 - fpc[2])
+    Hpp_inv = _sym3_inverse(m00 + e0, m01, m02, m11 + e1, m12, m22 + e2)
+    bp = tuple(_point_sum(p, Jp[a] * Pw[0] + Jp[3 + a] * Pw[1])
+               for a in range(3))
+
+    G2 = len(Jg) // 2
+    Hgg_diag = jnp.stack([jnp.sum(Jg[g] * PJg[g] + Jg[G2 + g] * PJg[G2 + g])
+                          for g in range(G2)])
+    extra_g = damping * Hgg_diag + (1.0 - p.free_global)
+    bg = jnp.stack([jnp.sum(Jg[g] * Pw[0] + Jg[G2 + g] * Pw[1])
+                    for g in range(G2)])
+
+    return FMBlocks(Jp=Jp, PJp=PJp, Jc=Jc, PJc=PJc, Jg=Jg, PJg=PJg,
+                    w=(w0, w1), Pw=Pw, Hpp_inv=Hpp_inv, bp=bp,
+                    bc=None, bg=bg, extra_c=None, extra_g=extra_g,
+                    omega0=omega0)
+
+
+# ---------------------------------------------------------------------------
+# reduced system
+# ---------------------------------------------------------------------------
+
+def _cam_gather(p: FMProblem, xc):
+    """xc [M, 6] -> 6 rows [N]."""
+    return [xc[:, a][p.obs_image] for a in range(6)]
+
+
+def _t_rows(p: FMProblem, b: FMBlocks, xc, xg):
+    """t = P (Jc xc + Jg xg) per observation: 2 rows [N]."""
+    xcg = _cam_gather(p, xc)
+    G2 = len(b.Jg) // 2
+    t = []
+    for i in (0, 1):
+        acc = 0.0
+        for a in range(6):
+            acc = acc + b.PJc[i * 6 + a] * xcg[a]
+        for g in range(G2):
+            acc = acc + b.PJg[i * G2 + g] * xg[g]
+        t.append(acc)
+    return t
+
+
+def _point_solve_expand(p: FMProblem, b: FMBlocks, t):
+    """z = Hpp^{-1} Jp^T t per point, expanded back to observations."""
+    y = [_point_sum(p, b.Jp[a] * t[0] + b.Jp[3 + a] * t[1]) for a in range(3)]
+    z = _hinv_apply(b.Hpp_inv, *y)
+    return [_point_expand(p, z[a]) for a in range(3)]
+
+
+def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg):
+    """Implicit S @ [xc; xg], feature-major."""
+    t = _t_rows(p, b, xc, xg)
+    zo = _point_solve_expand(p, b, t)
+    tv = []
+    for i in (0, 1):
+        u = sum(b.PJp[i * 3 + a] * zo[a] for a in range(3))
+        tv.append(t[i] - u)
+    G2 = len(b.Jg) // 2
+    og = jnp.stack([jnp.sum(b.Jg[g] * tv[0] + b.Jg[G2 + g] * tv[1])
+                    for g in range(G2)])
+    qc = [b.Jc[a] * tv[0] + b.Jc[6 + a] * tv[1] for a in range(6)]
+    oc = _image_sum_stack(p, qc)
+    return oc + b.extra_c * xc, og + b.extra_g * xg
+
+
+def prepare(p: FMProblem, state: ParamState, spec, damping):
+    """Linearise + build rhs and the (camera, global) block preconditioner.
+
+    All per-image reductions are fused into one [N, 54] pass (cf.
+    rcs.prepare); the global Sgg block is assembled with one MXU matmul.
+    Returns (blocks, rc, rg, rcs.Precond)."""
+    b = linearize(p, state, spec, damping)
+    G2 = len(b.Jg) // 2
+
+    # z0 = Hpp^{-1} bp expanded; u0 = P Jp z0
+    z0o = [_point_expand(p, z) for z in _hinv_apply(b.Hpp_inv, *b.bp)]
+    u0 = [sum(b.PJp[i * 3 + a] * z0o[a] for a in range(3)) for i in (0, 1)]
+
+    rows = []
+    # bc terms (6)
+    rows += [b.Jc[a] * b.Pw[0] + b.Jc[6 + a] * b.Pw[1] for a in range(6)]
+    # Hcc diagonal (6)
+    rows += [b.Jc[a] * b.PJc[a] + b.Jc[6 + a] * b.PJc[6 + a]
+             for a in range(6)]
+    # rc correction terms (6)
+    rows += [b.Jc[a] * u0[0] + b.Jc[6 + a] * u0[1] for a in range(6)]
+    # Scc = Hcc - Hcp Hpp^{-1} Hpc, upper triangle (21)
+    # Hpc per obs: hp[a][e] = Jp_a' P Jc_e  (3x6), via PJc
+    # per-(point,image) exact correction as in rcs.prepare: each observation
+    # contributes Hpc_n^T Hppinv[pt] Hpc_n
+    hp = [[b.Jp[a] * b.PJc[e] + b.Jp[3 + a] * b.PJc[6 + e] for e in range(6)]
+          for a in range(3)]
+    hinv_obs = [_point_expand(p, h) for h in b.Hpp_inv]
+    H = (hinv_obs[0], hinv_obs[1], hinv_obs[2],
+         hinv_obs[3], hinv_obs[4], hinv_obs[5])
+    for e in range(6):
+        he = _hinv_apply(H, hp[0][e], hp[1][e], hp[2][e])
+        for f in range(e, 6):
+            jpj = b.Jc[e] * b.PJc[f] + b.Jc[6 + e] * b.PJc[6 + f]
+            corr = sum(he[a] * hp[a][f] for a in range(3))
+            rows.append(jpj - corr)
+
+    red = _image_sum_stack(p, rows)  # [M, 39]
+    bc = red[:, :6]
+    extra_c = damping * red[:, 6:12] + (1.0 - p.free_eo)
+    rc = bc - red[:, 12:18]
+    tri = red[:, 18:]
+    iu = np.triu_indices(6)
+    Scc = jnp.zeros((p.num_images, 6, 6), red.dtype)
+    Scc = Scc.at[:, iu[0], iu[1]].set(tri)
+    Scc = Scc.at[:, iu[1], iu[0]].set(tri)
+    Scc = Scc + extra_c[:, :, None] * jnp.eye(6, dtype=red.dtype)
+    Minv_c = jnp.linalg.inv(Scc)
+    b = b._replace(bc=bc, extra_c=extra_c)
+
+    rg = b.bg - jnp.stack([jnp.sum(b.Jg[g] * u0[0] + b.Jg[G2 + g] * u0[1])
+                           for g in range(G2)])
+
+    # global block: Sgg = Hgg - Hgp Hpp^{-1} Hpg via one MXU matmul
+    JgM = jnp.stack(b.Jg)          # [2G, N]
+    PJgM = jnp.stack(b.PJg)        # [2G, N]
+    T2 = JgM @ PJgM.T              # [2G, 2G]
+    Hgg = T2[:G2, :G2] + T2[G2:, G2:] + jnp.diag(b.extra_g)
+    hpg = [[_point_sum(p, b.Jp[a] * b.PJg[g] + b.Jp[3 + a] * b.PJg[G2 + g])
+            for g in range(G2)] for a in range(3)]  # [3][G][P]
+    W = [_hinv_apply(b.Hpp_inv, hpg[0][g], hpg[1][g], hpg[2][g])
+         for g in range(G2)]  # [G][3][P]
+    HpgM = jnp.stack([hpg[a][g] for a in range(3) for g in range(G2)])
+    WM = jnp.stack([W[g][a] for a in range(3) for g in range(G2)])
+    T3 = WM @ HpgM.T  # [(3G), (3G)] with row index a*G+g
+    corr_g = sum(T3[a * G2:(a + 1) * G2, a * G2:(a + 1) * G2]
+                 for a in range(3))
+    Minv_g = jnp.linalg.inv(Hgg - corr_g)
+
+    return b, rc, rg, rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g)
+
+
+def back_substitute_points(p: FMProblem, b: FMBlocks, xc, xg):
+    """dx_p = Hpp^{-1} (bp - Hpx x): returns [P, 3]."""
+    t = _t_rows(p, b, xc, xg)
+    y = [_point_sum(p, b.Jp[a] * t[0] + b.Jp[3 + a] * t[1]) for a in range(3)]
+    dx = _hinv_apply(b.Hpp_inv, b.bp[0] - y[0], b.bp[1] - y[1],
+                     b.bp[2] - y[2])
+    return jnp.stack(dx, axis=1)
+
+
+def omega_at(p: FMProblem, b: FMBlocks, dxp, dxc, dxg):
+    """Omega(dx) at the linearisation point (getOmega semantics,
+    BundleAdjustment.java:472-491)."""
+    dxp_o = [_point_expand(p, dxp[:, a]) for a in range(3)]
+    dxc_o = _cam_gather(p, dxc)
+    G2 = len(b.Jg) // 2
+    v = []
+    for i in (0, 1):
+        jdx = sum(b.Jp[i * 3 + a] * dxp_o[a] for a in range(3))
+        jdx = jdx + sum(b.Jc[i * 6 + a] * dxc_o[a] for a in range(6))
+        jdx = jdx + sum(b.Jg[i * G2 + g] * dxg[g] for g in range(G2))
+        v.append(b.w[i] - jdx)
+    pv0 = p.wxx * v[0] + p.wxy * v[1]
+    pv1 = p.wxy * v[0] + p.wyy * v[1]
+    return jnp.sum(v[0] * pv0 + v[1] * pv1)
+
+
+def lm_step(p: FMProblem, state: ParamState, spec, damping,
+            cg_tol=1e-10, cg_maxiter=200, use_pallas=False,
+            pallas_pb=None):
+    """One LM inner solve; returns (dxp, dxc, dxg, blocks, cg_iterations).
+
+    ``use_pallas``: run the CG matvec with the fused feature-major TPU
+    kernel (parallel/kernels.py) instead of the XLA formulation."""
+    b, rc, rg, Minv = prepare(p, state, spec, damping)
+    b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
+    if use_pallas:
+        from . import kernels
+
+        pp = kernels.pack_fm(b, p)
+        arrs = jax.lax.optimization_barrier(
+            (pp.packed, pp.obs_img, pp.hppinv))
+        pp = pp._replace(packed=arrs[0], obs_img=arrs[1], hppinv=arrs[2])
+        matvec = kernels.make_matvec(pp, b.extra_c, b.extra_g, pb=pallas_pb)
+    else:
+        def matvec(c, g):
+            return schur_matvec(p, b, c, g)
+    xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
+                         maxiter=cg_maxiter, matvec=matvec)
+    dxp = back_substitute_points(p, b, xc, xg)
+    return dxp, xc, xg, b, it

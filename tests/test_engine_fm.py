@@ -1,0 +1,143 @@
+"""Feature-major engine (parallel/engine.py) parity against the block-layout
+RCS path (parallel/rcs.py), plus the Pallas matvec kernel in interpret mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundle_adjustment_tpu.models.problem import ParamState
+from bundle_adjustment_tpu.parallel import engine, rcs
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    import bench as B
+
+    problem, state, spec = B.build_problem(512, 24, 8, jnp.float64, seed=3)
+    return problem, state, spec
+
+
+def test_linearize_matches_rcs(small_problem):
+    problem, state, spec = small_problem
+    damping = jnp.asarray(1e-3)
+    b_ref = rcs.linearize(problem, state, spec, damping)
+    p = engine.fm_problem(problem)
+    b = engine.linearize(p, state, spec, damping)
+
+    N = problem.obs_point.shape[0]
+    for a in range(3):
+        np.testing.assert_allclose(b.Jp[a], b_ref.Jp[:, 0, a], rtol=1e-12)
+        np.testing.assert_allclose(b.Jp[3 + a], b_ref.Jp[:, 1, a], rtol=1e-12)
+        np.testing.assert_allclose(b.PJp[a], b_ref.PJp[:, 0, a], rtol=1e-12)
+    for a in range(6):
+        np.testing.assert_allclose(b.Jc[a], b_ref.Jc[:, 0, a], rtol=1e-12)
+        np.testing.assert_allclose(b.Jc[6 + a], b_ref.Jc[:, 1, a], rtol=1e-12)
+    G = b_ref.Jg.shape[2]
+    for g in range(G):
+        np.testing.assert_allclose(b.Jg[g], b_ref.Jg[:, 0, g], rtol=1e-12)
+        np.testing.assert_allclose(b.Jg[G + g], b_ref.Jg[:, 1, g], rtol=1e-12)
+        np.testing.assert_allclose(b.PJg[g], b_ref.PJg[:, 0, g], rtol=1e-12)
+    np.testing.assert_allclose(b.w[0], b_ref.w[:, 0], rtol=1e-12)
+    np.testing.assert_allclose(b.w[1], b_ref.w[:, 1], rtol=1e-12)
+    np.testing.assert_allclose(b.omega0, b_ref.omega0, rtol=1e-10)
+    np.testing.assert_allclose(
+        jnp.stack(b.bp, axis=1), b_ref.bp, rtol=1e-10, atol=1e-12)
+    # Hpp_inv rows vs full inverse
+    Hfull = b_ref.Hpp_inv
+    np.testing.assert_allclose(b.Hpp_inv[0], Hfull[:, 0, 0], rtol=1e-8)
+    np.testing.assert_allclose(b.Hpp_inv[1], Hfull[:, 0, 1],
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(b.Hpp_inv[5], Hfull[:, 2, 2], rtol=1e-8)
+
+
+def test_prepare_and_matvec_match_rcs(small_problem):
+    problem, state, spec = small_problem
+    damping = jnp.asarray(1e-3)
+    b_ref, rc_ref, rg_ref, M_ref = rcs.prepare(problem, state, spec, damping)
+    p = engine.fm_problem(problem)
+    b, rc, rg, Minv = engine.prepare(p, state, spec, damping)
+
+    np.testing.assert_allclose(rc, rc_ref, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(rg, rg_ref, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(b.bc, b_ref.bc, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(b.extra_c, b_ref.extra_c, rtol=1e-9)
+    np.testing.assert_allclose(Minv.Minv_c, M_ref.Minv_c, rtol=1e-7,
+                               atol=1e-10)
+    np.testing.assert_allclose(Minv.Minv_g, M_ref.Minv_g, rtol=1e-7,
+                               atol=1e-10)
+
+    rng = np.random.default_rng(0)
+    xc = jnp.asarray(rng.normal(size=rc.shape))
+    xg = jnp.asarray(rng.normal(size=rg.shape))
+    oc, og = engine.schur_matvec(p, b, xc, xg)
+    oc_ref, og_ref = rcs.schur_matvec(problem, b_ref, xc, xg)
+    np.testing.assert_allclose(oc, oc_ref, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(og, og_ref, rtol=1e-9, atol=1e-12)
+
+
+def test_lm_step_matches_rcs(small_problem):
+    problem, state, spec = small_problem
+    damping = jnp.asarray(1e-4)
+    dxp_r, dxc_r, dxg_r, b_r, it_r = rcs.lm_step(
+        problem, state, spec, damping, cg_tol=1e-12, cg_maxiter=500)
+    p = engine.fm_problem(problem)
+    dxp, dxc, dxg, b, it = engine.lm_step(
+        p, state, spec, damping, cg_tol=1e-12, cg_maxiter=500)
+    np.testing.assert_allclose(dxp, dxp_r, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(dxc, dxc_r, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(dxg, dxg_r, rtol=1e-6, atol=1e-10)
+    # omega parity
+    om = engine.omega_at(p, b, dxp, dxc, dxg)
+    om_r = rcs.omega_at(problem, b_r, dxp_r, dxc_r, dxg_r)
+    np.testing.assert_allclose(om, om_r, rtol=1e-8)
+
+
+def test_pallas_matvec_interpret(small_problem):
+    """Kernel vs XLA engine matvec, interpret mode (no TPU needed)."""
+    from bundle_adjustment_tpu.parallel import kernels
+
+    problem, state, spec = small_problem
+    damping = jnp.asarray(1e-3)
+    p = engine.fm_problem(problem)
+    b, rc, rg, Minv = engine.prepare(p, state, spec, damping)
+    b32 = jax.tree.map(lambda x: x.astype(jnp.float32)
+                       if x.dtype == jnp.float64 else x, b)
+    pp = kernels.pack_fm(b32, p)
+
+    rng = np.random.default_rng(1)
+    xc = jnp.asarray(rng.normal(size=rc.shape), jnp.float32)
+    xg = jnp.asarray(rng.normal(size=rg.shape), jnp.float32)
+
+    mv = kernels.make_matvec(
+        pp, b32.extra_c.astype(jnp.float32),
+        b32.extra_g.astype(jnp.float32), interpret=True)
+    oc, og = mv(xc, xg)
+
+    oc_ref, og_ref = engine.schur_matvec(p, b, xc.astype(jnp.float64),
+                                         xg.astype(jnp.float64))
+    scale = float(jnp.max(jnp.abs(oc_ref)))
+    np.testing.assert_allclose(oc, oc_ref, rtol=2e-4, atol=2e-4 * scale)
+    np.testing.assert_allclose(og, og_ref, rtol=2e-4,
+                               atol=2e-4 * float(jnp.max(jnp.abs(og_ref))))
+
+
+def test_pad_problem_parity(small_problem):
+    """Padding to a 128-multiple must not change the solution and must keep
+    dummy-point steps exactly zero."""
+    import bench as B
+    from bundle_adjustment_tpu.parallel import kernels
+
+    problem, state, spec = B.build_problem(500, 24, 8, jnp.float64, seed=3)
+    problem2, state2, P = engine.pad_problem(problem, state)
+    assert problem2.num_points == 512 and P == 500
+    assert kernels.choose_pb(512, 8) in (128, 256, 512)
+    fmp = engine.fm_problem(problem2)
+    damping = jnp.asarray(1e-4)
+    dxp, dxc, dxg, b, it = engine.lm_step(
+        fmp, state2, spec, damping, cg_tol=1e-12, cg_maxiter=500)
+    dxp_r, dxc_r, dxg_r, *_ = rcs.lm_step(
+        problem, state, spec, damping, cg_tol=1e-12, cg_maxiter=500)
+    np.testing.assert_allclose(dxp[:500], dxp_r, rtol=1e-6, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(dxp[500:]), 0.0)
+    np.testing.assert_allclose(dxc, dxc_r, rtol=1e-6, atol=1e-10)
