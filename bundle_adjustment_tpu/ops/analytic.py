@@ -48,7 +48,7 @@ def analytic_image_jacobian_and_residual(local, obs_xy, spec: DistortionSpec, r0
 
     # d(xs,ys)/d(param): the collinearity rows without the direct principal
     # point entries (xs does not depend on x0/y0)
-    zero = jnp.zeros(())
+    zero = jnp.zeros((), local.dtype)
     dxs = cp.xs.at[3].set(zero).at[4].set(zero)
     dys = cp.ys.at[3].set(zero).at[4].set(zero)
 
@@ -73,14 +73,9 @@ def analytic_image_jacobian_and_residual(local, obs_xy, spec: DistortionSpec, r0
     xys2 = 2.0 * xs * ys
 
     # accumulated distortion value and its partials w.r.t. xs/ys (and N)
-    deltaX = jnp.zeros(())
-    deltaY = jnp.zeros(())
-    dX_dxs = jnp.zeros(())
-    dX_dys = jnp.zeros(())
-    dY_dxs = jnp.zeros(())
-    dY_dys = jnp.zeros(())
-    dX_dN = jnp.zeros(())
-    dY_dN = jnp.zeros(())
+    deltaX = deltaY = zero
+    dX_dxs = dX_dys = dY_dxs = dY_dys = zero
+    dX_dN = dY_dN = zero
     coeff_rows_x = []
     coeff_rows_y = []
 
@@ -96,7 +91,7 @@ def analytic_image_jacobian_and_residual(local, obs_xy, spec: DistortionSpec, r0
         dbase_x_dys = 2.0 * (by * xs + bx * ys)
         dbase_y_dxs = 2.0 * (by * xs + bx * ys)
         dbase_y_dys = 2.0 * (bx * xs + 3.0 * by * ys)
-        ssum = jnp.ones(())
+        ssum = jnp.ones((), local.dtype)
         for i, s in tang:
             if s.key <= 0:
                 continue
@@ -111,12 +106,12 @@ def analytic_image_jacobian_and_residual(local, obs_xy, spec: DistortionSpec, r0
                 deltaX = deltaX + ci * xs
                 dX_dxs = dX_dxs + ci
                 coeff_rows_x.append(xs)
-                coeff_rows_y.append(jnp.zeros(()))
+                coeff_rows_y.append(zero)
             else:  # Cy
                 deltaX = deltaX + ci * ys
                 dX_dys = dX_dys + ci
                 coeff_rows_x.append(ys)
-                coeff_rows_y.append(jnp.zeros(()))
+                coeff_rows_y.append(zero)
         elif k == DistortionType.RADIAL_DISTORTION:
             dri = r2**slot.order - r02**slot.order
             dradi = ci * dri
@@ -161,8 +156,7 @@ def analytic_image_jacobian_and_residual(local, obs_xy, spec: DistortionSpec, r0
         deltaX = deltaX + base_x * ssum
         deltaY = deltaY + base_y * ssum
         # d(base * sum)/dxs = sum * dbase_dxs + base * dsum_dxs
-        dsum_dxs = jnp.zeros(())
-        dsum_dys = jnp.zeros(())
+        dsum_dxs = dsum_dys = zero
         for i, s in tang:
             if s.key <= 0:
                 continue
