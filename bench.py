@@ -178,7 +178,7 @@ def main():
         @jax.jit
         def lm_iteration(st: ParamState):
             dxp, dxc, dxg, blocks, it = engine.lm_step(
-                fmp, st, spec, damping, cg_tol=1e-5, cg_maxiter=100,
+                fmp, st, spec, damping, cg_tol=1e-4, cg_maxiter=100,
                 use_pallas=(mode != "xla"))
             new_state, max_dx = rcs.apply_step(st, problem, dxp, dxc, dxg)
             return new_state, max_dx, blocks.omega0, it

@@ -452,11 +452,14 @@ def omega_at(p: FMProblem, b: FMBlocks, dxp, dxc, dxg):
 
 def lm_step(p: FMProblem, state: ParamState, spec, damping,
             cg_tol=1e-10, cg_maxiter=200, use_pallas=False,
-            pallas_pb=None):
+            pallas_pb=None, couple_global=True):
     """One LM inner solve; returns (dxp, dxc, dxg, blocks, cg_iterations).
 
     ``use_pallas``: run the CG matvec with the fused feature-major TPU
-    kernel (parallel/kernels.py) instead of the XLA formulation."""
+    kernel (parallel/kernels.py) instead of the XLA formulation.
+    ``couple_global``: upgrade the preconditioner with the exact
+    camera-global off-diagonal blocks (G extra matvecs per LM step, large
+    CG iteration savings — see rcs.couple_preconditioner)."""
     b, rc, rg, Minv = prepare(p, state, spec, damping)
     b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
     if use_pallas:
@@ -470,6 +473,10 @@ def lm_step(p: FMProblem, state: ParamState, spec, damping,
     else:
         def matvec(c, g):
             return schur_matvec(p, b, c, g)
+    if couple_global:
+        Minv = rcs.couple_preconditioner(
+            matvec, Minv, p.num_images, rg.shape[0], rg.dtype)
+        Minv = jax.lax.optimization_barrier(Minv)
     xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
                          maxiter=cg_maxiter, matvec=matvec)
     dxp = back_substitute_points(p, b, xc, xg)

@@ -350,10 +350,50 @@ class Precond(NamedTuple):
     """Block preconditioner of the reduced system: exact 6x6 camera blocks
     plus the exact (small, dense) global IO/distortion block.  The global
     block couples every observation; leaving it unpreconditioned costs ~5x
-    in CG iterations (measured: 375 -> 78 to 1e-5 at 20k points)."""
+    in CG iterations (measured: 375 -> 78 to 1e-5 at 20k points).
+
+    When ``Scg``/``W``/``Sghat_inv`` are set (see `couple_preconditioner`)
+    the preconditioner additionally carries the exact camera-global
+    off-diagonal blocks and is applied exactly via a Schur complement on
+    the (small) global block:
+
+        M = [[D, Scg], [Scg^T, Sgg]],  D = blockdiag(Scc_m)
+        u  = D^{-1} rc
+        zg = (Sgg - Scg^T D^{-1} Scg)^{-1} (rg - Scg^T u)
+        zc = u - (D^{-1} Scg) zg
+
+    i.e. only the camera-camera coupling *through points* is dropped.
+    Measured (v5e, 100k pts / 500 img / 12 views, f32): CG to rel 1e-5 in
+    11 iterations vs 73 with the block preconditioner (1e-4: 3 vs 68), at
+    a setup cost of G = 10 extra matvecs."""
 
     Minv_c: jnp.ndarray  # [M, 6, 6]
     Minv_g: jnp.ndarray  # [G, G]
+    Scg: jnp.ndarray | None = None        # [M, 6, G]
+    W: jnp.ndarray | None = None          # [M, 6, G]  (= D^{-1} Scg)
+    Sghat_inv: jnp.ndarray | None = None  # [G, G]
+
+
+def couple_preconditioner(matvec, Minv: Precond, num_images: int, G: int,
+                          dtype=jnp.float32) -> Precond:
+    """Upgrade a block `Precond` with the exact camera-global coupling.
+
+    Recovers the Scg [M, 6, G] and Sgg [G, G] blocks of the (damped) reduced
+    system with G unit-vector products S @ [0; e_g] — G is tiny (3 + K per
+    camera), so this costs G matvecs once per LM step and typically saves
+    far more CG iterations.  Works with any matvec (XLA or Pallas)."""
+    cols_c = []
+    cols_g = []
+    for g in range(G):
+        eg = jnp.zeros(G, dtype).at[g].set(1.0)
+        sc, sg = matvec(jnp.zeros((num_images, 6), dtype), eg)
+        cols_c.append(sc)
+        cols_g.append(sg)
+    Scg = jnp.stack(cols_c, axis=2)              # [M, 6, G]
+    Sgg = jnp.stack(cols_g, axis=1)              # [G, G] (columns)
+    W = jnp.einsum("mab,mbg->mag", Minv.Minv_c, Scg)
+    Sghat = Sgg - jnp.einsum("mag,mah->gh", Scg, W)
+    return Minv._replace(Scg=Scg, W=W, Sghat_inv=jnp.linalg.inv(Sghat))
 
 
 def global_block_preconditioner(p: RCSProblem, b: Blocks):
@@ -366,17 +406,28 @@ def global_block_preconditioner(p: RCSProblem, b: Blocks):
 
 
 def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
-        matvec=None):
+        matvec=None, stall_limit=None):
     """Preconditioned CG on the implicit reduced system.
 
     ``Minv`` is either a `Precond` (camera + global blocks) or a bare
     [M, 6, 6] camera-block array (global block treated as identity).
-    ``matvec(xc, xg) -> (Sc, Sg)`` overrides the product (Pallas kernel)."""
+    ``matvec(xc, xg) -> (Sc, Sg)`` overrides the product (Pallas kernel).
+    ``stall_limit``: stop once no iteration in a window of this many
+    improves the best residual by >=10% — f32 rounding floors the
+    achievable residual (floor depends on the preconditioner), and spinning
+    at the floor wastes matvecs.  Default: 8 for f32 inputs, disabled for
+    f64 (tight-tolerance parity paths legitimately plateau longer)."""
     if matvec is None:
         def matvec(xc_, xg_):
             return schur_matvec(p, b, xc_, xg_)
 
-    if isinstance(Minv, Precond):
+    if isinstance(Minv, Precond) and Minv.Scg is not None:
+        def apply_M(rc_, rg_):
+            u = jnp.einsum("mab,mb->ma", Minv.Minv_c, rc_)
+            zg = Minv.Sghat_inv @ (rg_ - jnp.einsum("mag,ma->g", Minv.Scg, u))
+            zc = u - jnp.einsum("mag,g->ma", Minv.W, zg)
+            return zc, zg
+    elif isinstance(Minv, Precond):
         def apply_M(rc_, rg_):
             return (jnp.einsum("mab,mb->ma", Minv.Minv_c, rc_),
                     Minv.Minv_g @ rg_)
@@ -393,14 +444,20 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
     pc, pg = zc, zg
     rz = dot(rc, rg, zc, zg)
     r0norm = jnp.sqrt(dot(rc, rg, rc, rg))
+    best0 = r0norm.astype(rc.dtype)
+    stall0 = jnp.zeros((), jnp.int32)
+    if stall_limit is None:
+        stall_limit = 8 if rc.dtype == jnp.float32 else maxiter + 1
 
     def cond(carry):
-        xc, xg, rc, rg, pc, pg, rz, it = carry
+        xc, xg, rc, rg, pc, pg, rz, best, stall, it = carry
         rnorm = jnp.sqrt(dot(rc, rg, rc, rg))
-        return jnp.logical_and(it < maxiter, rnorm > tol * (1.0 + r0norm))
+        return jnp.logical_and(
+            jnp.logical_and(it < maxiter, stall < stall_limit),
+            rnorm > tol * (1.0 + r0norm))
 
     def body(carry):
-        xc, xg, rc, rg, pc, pg, rz, it = carry
+        xc, xg, rc, rg, pc, pg, rz, best, stall, it = carry
         qc, qg = matvec(pc, pg)
         alpha = rz / dot(pc, pg, qc, qg)
         xc = xc + alpha * pc
@@ -412,10 +469,16 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
         beta = rz_new / rz
         pc = zc + beta * pc
         pg = zg + beta * pg
-        return xc, xg, rc, rg, pc, pg, rz_new, it + 1
+        rnorm = jnp.sqrt(dot(rc, rg, rc, rg))
+        improved = rnorm < 0.9 * best
+        best = jnp.minimum(best, rnorm)
+        stall = jnp.where(improved, 0, stall + 1)
+        return xc, xg, rc, rg, pc, pg, rz_new, best, stall, it + 1
 
-    xc, xg, rc, rg, pc, pg, rz, it = jax.lax.while_loop(
-        cond, body, (xc, xg, rc, rg, pc, pg, rz, jnp.zeros((), jnp.int32)))
+    xc, xg, rc, rg, pc, pg, rz, best, stall, it = jax.lax.while_loop(
+        cond, body,
+        (xc, xg, rc, rg, pc, pg, rz, best0, stall0,
+         jnp.zeros((), jnp.int32)))
     return xc, xg, it
 
 

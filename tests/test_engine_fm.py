@@ -93,6 +93,24 @@ def test_lm_step_matches_rcs(small_problem):
     np.testing.assert_allclose(om, om_r, rtol=1e-8)
 
 
+def test_coupled_preconditioner(small_problem):
+    """The camera-global coupled preconditioner must reach the same solution
+    and converge in no more CG iterations than the block one."""
+    problem, state, spec = small_problem
+    damping = jnp.asarray(1e-4)
+    p = engine.fm_problem(problem)
+    dxp_b, dxc_b, dxg_b, _, it_b = engine.lm_step(
+        p, state, spec, damping, cg_tol=1e-10, cg_maxiter=500,
+        couple_global=False)
+    dxp_c, dxc_c, dxg_c, _, it_c = engine.lm_step(
+        p, state, spec, damping, cg_tol=1e-10, cg_maxiter=500,
+        couple_global=True)
+    np.testing.assert_allclose(dxp_c, dxp_b, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(dxc_c, dxc_b, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(dxg_c, dxg_b, rtol=1e-5, atol=1e-8)
+    assert int(it_c) <= int(it_b)
+
+
 def test_pallas_matvec_interpret(small_problem):
     """Kernel vs XLA engine matvec, interpret mode (no TPU needed)."""
     from bundle_adjustment_tpu.parallel import kernels
