@@ -64,7 +64,15 @@ def _pcg_multi(problem, blocks, Rc, Rg, Minv, tol=1e-8, maxiter=400):
     def matvec(xc, xg):
         return jax.vmap(lambda c, g: rcs.schur_matvec(problem, blocks, c, g))(xc, xg)
 
-    if isinstance(Minv, rcs.Precond):
+    if isinstance(Minv, rcs.Precond) and Minv.Scg is not None:
+        def apply_M(rc_, rg_):
+            u = jnp.einsum("mab,rmb->rma", Minv.Minv_c, rc_)
+            zg = jnp.einsum(
+                "gh,rh->rg", Minv.Sghat_inv,
+                rg_ - jnp.einsum("mag,rma->rg", Minv.Scg, u))
+            zc = u - jnp.einsum("mag,rg->rma", Minv.W, zg)
+            return zc, zg
+    elif isinstance(Minv, rcs.Precond):
         def apply_M(rc_, rg_):
             return (jnp.einsum("mab,rmb->rma", Minv.Minv_c, rc_),
                     jnp.einsum("gh,rh->rg", Minv.Minv_g, rg_))
@@ -120,6 +128,9 @@ def point_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
     Minv = rcs.Precond(
         Minv_c=rcs.camera_block_preconditioner(problem, blocks),
         Minv_g=rcs.global_block_preconditioner(problem, blocks))
+    Minv = rcs.couple_preconditioner(
+        lambda c, g: rcs.schur_matvec(problem, blocks, c, g), Minv,
+        problem.num_images, blocks.Jg.shape[2], blocks.Jp.dtype)
     Cc, Cg = _coupling_columns(problem, blocks, point_ids)  # [k,M,6,3],[k,G,3]
     k = Cc.shape[0]
 
@@ -143,6 +154,9 @@ def camera_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
     Minv = rcs.Precond(
         Minv_c=rcs.camera_block_preconditioner(problem, blocks),
         Minv_g=rcs.global_block_preconditioner(problem, blocks))
+    Minv = rcs.couple_preconditioner(
+        lambda c, g: rcs.schur_matvec(problem, blocks, c, g), Minv,
+        problem.num_images, blocks.Jg.shape[2], blocks.Jp.dtype)
     k = image_ids.shape[0]
     M = problem.num_images
     G = blocks.Jg.shape[2]
