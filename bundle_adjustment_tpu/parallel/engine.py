@@ -352,11 +352,18 @@ def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg):
     return oc + b.extra_c * xc, og + b.extra_g * xg
 
 
-def prepare(p: FMProblem, state: ParamState, spec, damping):
+def prepare(p: FMProblem, state: ParamState, spec, damping,
+            couple_global: bool = True):
     """Linearise + build rhs and the (camera, global) block preconditioner.
 
-    All per-image reductions are fused into one [N, 54] pass (cf.
+    All per-image reductions are fused into one [N, 39 + 6G] pass (cf.
     rcs.prepare); the global Sgg block is assembled with one MXU matmul.
+    With ``couple_global`` the exact camera-global off-diagonal blocks
+    Scg = Hcg - Hcp Hpp^{-1} Hpg are assembled *directly* inside the same
+    fused reduction (6G extra feature rows) instead of recovering them with
+    G unit-vector Schur matvecs (rcs.couple_preconditioner) — the per-
+    observation form Hpc_n^T Hppinv[pt_n] Hpg[pt_n] is exact for any
+    visibility multiplicity because it is linear in Hpc_n.
     Returns (blocks, rc, rg, rcs.Precond)."""
     b = linearize(p, state, spec, damping)
     G2 = len(b.Jg) // 2
@@ -364,6 +371,13 @@ def prepare(p: FMProblem, state: ParamState, spec, damping):
     # z0 = Hpp^{-1} bp expanded; u0 = P Jp z0
     z0o = [_point_expand(p, z) for z in _hinv_apply(b.Hpp_inv, *b.bp)]
     u0 = [sum(b.PJp[i * 3 + a] * z0o[a] for a in range(3)) for i in (0, 1)]
+
+    # point cross blocks (needed for Sgg, and for Scg when coupled):
+    # Hpg per point [3][G][P] and W = Hpp^{-1} Hpg [G][3][P]
+    hpg = [[_point_sum(p, b.Jp[a] * b.PJg[g] + b.Jp[3 + a] * b.PJg[G2 + g])
+            for g in range(G2)] for a in range(3)]
+    W = [_hinv_apply(b.Hpp_inv, hpg[0][g], hpg[1][g], hpg[2][g])
+         for g in range(G2)]  # [G][3][P]
 
     rows = []
     # bc terms (6)
@@ -388,12 +402,21 @@ def prepare(p: FMProblem, state: ParamState, spec, damping):
             jpj = b.Jc[e] * b.PJc[f] + b.Jc[6 + e] * b.PJc[6 + f]
             corr = sum(he[a] * hp[a][f] for a in range(3))
             rows.append(jpj - corr)
+    if couple_global:
+        # Scg rows (6G): Hcg - Hcp Hpp^{-1} Hpg, exact per observation
+        Wobs = [[_point_expand(p, W[g][a]) for a in range(3)]
+                for g in range(G2)]
+        for e in range(6):
+            for g in range(G2):
+                hcg = b.Jc[e] * b.PJg[g] + b.Jc[6 + e] * b.PJg[G2 + g]
+                corr = sum(hp[a][e] * Wobs[g][a] for a in range(3))
+                rows.append(hcg - corr)
 
-    red = _image_sum_stack(p, rows)  # [M, 39]
+    red = _image_sum_stack(p, rows)  # [M, 39 (+ 6G)]
     bc = red[:, :6]
     extra_c = damping * red[:, 6:12] + (1.0 - p.free_eo)
     rc = bc - red[:, 12:18]
-    tri = red[:, 18:]
+    tri = red[:, 18:39]
     iu = np.triu_indices(6)
     Scc = jnp.zeros((p.num_images, 6, 6), red.dtype)
     Scc = Scc.at[:, iu[0], iu[1]].set(tri)
@@ -410,18 +433,23 @@ def prepare(p: FMProblem, state: ParamState, spec, damping):
     PJgM = jnp.stack(b.PJg)        # [2G, N]
     T2 = JgM @ PJgM.T              # [2G, 2G]
     Hgg = T2[:G2, :G2] + T2[G2:, G2:] + jnp.diag(b.extra_g)
-    hpg = [[_point_sum(p, b.Jp[a] * b.PJg[g] + b.Jp[3 + a] * b.PJg[G2 + g])
-            for g in range(G2)] for a in range(3)]  # [3][G][P]
-    W = [_hinv_apply(b.Hpp_inv, hpg[0][g], hpg[1][g], hpg[2][g])
-         for g in range(G2)]  # [G][3][P]
     HpgM = jnp.stack([hpg[a][g] for a in range(3) for g in range(G2)])
     WM = jnp.stack([W[g][a] for a in range(3) for g in range(G2)])
     T3 = WM @ HpgM.T  # [(3G), (3G)] with row index a*G+g
     corr_g = sum(T3[a * G2:(a + 1) * G2, a * G2:(a + 1) * G2]
                  for a in range(3))
-    Minv_g = jnp.linalg.inv(Hgg - corr_g)
+    Sgg = Hgg - corr_g
+    Minv_g = jnp.linalg.inv(Sgg)
 
-    return b, rc, rg, rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g)
+    if not couple_global:
+        return b, rc, rg, rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g)
+
+    Scg = red[:, 39:].reshape(p.num_images, 6, G2)
+    Wpc = jnp.einsum("mab,mbg->mag", Minv_c, Scg)
+    Sghat = Sgg - jnp.einsum("mag,mah->gh", Scg, Wpc)
+    Minv = rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g, Scg=Scg, W=Wpc,
+                       Sghat_inv=jnp.linalg.inv(Sghat))
+    return b, rc, rg, Minv
 
 
 def back_substitute_points(p: FMProblem, b: FMBlocks, xc, xg):
@@ -458,9 +486,11 @@ def lm_step(p: FMProblem, state: ParamState, spec, damping,
     ``use_pallas``: run the CG matvec with the fused feature-major TPU
     kernel (parallel/kernels.py) instead of the XLA formulation.
     ``couple_global``: upgrade the preconditioner with the exact
-    camera-global off-diagonal blocks (G extra matvecs per LM step, large
-    CG iteration savings — see rcs.couple_preconditioner)."""
-    b, rc, rg, Minv = prepare(p, state, spec, damping)
+    camera-global off-diagonal blocks, assembled directly inside prepare()'s
+    fused per-image reduction (large CG iteration savings at the cost of 6G
+    extra feature rows in one pass — see prepare)."""
+    b, rc, rg, Minv = prepare(p, state, spec, damping,
+                              couple_global=couple_global)
     b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
     if use_pallas:
         from . import kernels
@@ -473,10 +503,6 @@ def lm_step(p: FMProblem, state: ParamState, spec, damping,
     else:
         def matvec(c, g):
             return schur_matvec(p, b, c, g)
-    if couple_global:
-        Minv = rcs.couple_preconditioner(
-            matvec, Minv, p.num_images, rg.shape[0], rg.dtype)
-        Minv = jax.lax.optimization_barrier(Minv)
     xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
                          maxiter=cg_maxiter, matvec=matvec)
     dxp = back_substitute_points(p, b, xc, xg)

@@ -111,6 +111,25 @@ def test_coupled_preconditioner(small_problem):
     assert int(it_c) <= int(it_b)
 
 
+def test_direct_scg_matches_matvec_recovery(small_problem):
+    """prepare(couple_global=True) assembles Scg/Sghat_inv directly in the
+    fused reduction; it must match the blocks recovered with G unit-vector
+    Schur matvecs (rcs.couple_preconditioner)."""
+    problem, state, spec = small_problem
+    damping = jnp.asarray(1e-4)
+    p = engine.fm_problem(problem)
+    b, rc, rg, Minv = engine.prepare(p, state, spec, damping,
+                                     couple_global=True)
+    base = rcs.Precond(Minv_c=Minv.Minv_c, Minv_g=Minv.Minv_g)
+    ref = rcs.couple_preconditioner(
+        lambda c, g: engine.schur_matvec(p, b, c, g), base,
+        p.num_images, rg.shape[0], rg.dtype)
+    np.testing.assert_allclose(Minv.Scg, ref.Scg, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(Minv.W, ref.W, rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(Minv.Sghat_inv, ref.Sghat_inv,
+                               rtol=1e-7, atol=1e-10)
+
+
 def test_pallas_matvec_interpret(small_problem):
     """Kernel vs XLA engine matvec, interpret mode (no TPU needed)."""
     from bundle_adjustment_tpu.parallel import kernels
