@@ -20,28 +20,63 @@ from ..models.distortion import DistortionType
 from ..models.scene import Camera, Image, ObjectCoordinate, ScaleBar
 
 
-def _read_lines(path, ignore_prefix: Optional[str] = None) -> Iterable[str]:
-    """BOM-aware line iterator skipping blank and comment lines
-    (LockFileReader.java:69-103)."""
+class ReadInterrupt:
+    """Cooperative interrupt flag for long reads: `interrupt()` from another
+    thread stops the line loop at the next line, mirroring the reference's
+    `this.interrupt` check inside the read loop (LockFileReader.java:105-107,
+    checked at :84)."""
+
+    def __init__(self) -> None:
+        self._flag = False
+
+    def interrupt(self) -> None:
+        self._flag = True
+
+    def __bool__(self) -> bool:
+        return self._flag
+
+
+def _read_lines(path, ignore_prefix: Optional[str] = None,
+                interrupt: Optional[ReadInterrupt] = None) -> Iterable[str]:
+    """BOM-aware line iterator skipping blank and comment lines, holding a
+    shared advisory lock for the duration of the read and honouring a
+    cooperative interrupt (LockFileReader.java:69-111: FileLock at :80,
+    interrupt check at :84/:105-107)."""
     with open(path, "r", encoding="utf-8-sig", errors="replace") as fh:
-        for line in fh:
-            line = line.rstrip("\n").rstrip("\r")
-            if not line.strip():
-                continue
-            if ignore_prefix and line.strip().startswith(ignore_prefix):
-                continue
-            yield line
+        locked = False
+        try:
+            import fcntl
+
+            fcntl.flock(fh.fileno(), fcntl.LOCK_SH)
+            locked = True
+        except (ImportError, OSError):  # non-POSIX or unlockable stream
+            pass
+        try:
+            for line in fh:
+                if interrupt:
+                    return
+                line = line.rstrip("\n").rstrip("\r")
+                if not line.strip():
+                    continue
+                if ignore_prefix and line.strip().startswith(ignore_prefix):
+                    continue
+                yield line
+        finally:
+            if locked:
+                import fcntl
+
+                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
 
 
 # --------------------------------------------------------------------------
 # generic flat-file readers (H3-H7)
 # --------------------------------------------------------------------------
 
-def read_object_coordinates_flat(path) -> dict[str, ObjectCoordinate]:
+def read_object_coordinates_flat(path, interrupt=None) -> dict[str, ObjectCoordinate]:
     """`name X Y Z [datum]` (ObjectCoordinateFlatFileReader.java:71-96);
     datum only if the 5th column is exactly "1"."""
     out: dict[str, ObjectCoordinate] = {}
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         cols = line.split()
         if len(cols) < 4:
             continue
@@ -57,10 +92,11 @@ def read_object_coordinates_flat(path) -> dict[str, ObjectCoordinate]:
 
 
 def read_image_coordinates_flat(path, camera: Camera,
-                                coordinates: dict[str, ObjectCoordinate]) -> Camera:
+                                coordinates: dict[str, ObjectCoordinate],
+                                interrupt=None) -> Camera:
     """`camId imgId name x y sx sy [rho]`
     (ImageCoordinateFlatFileReader.java:73-109)."""
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         cols = line.split()
         if len(cols) < 7:
             continue
@@ -79,10 +115,10 @@ def read_image_coordinates_flat(path, camera: Camera,
     return camera
 
 
-def read_exterior_orientations_flat(path, camera: Camera) -> Camera:
+def read_exterior_orientations_flat(path, camera: Camera, interrupt=None) -> Camera:
     """`camId imgId X0 Y0 Z0 omega phi kappa`
     (ExteriorOrientationFlatFileReader.java:69-112)."""
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         cols = line.split()
         if len(cols) < 8:
             continue
@@ -97,9 +133,9 @@ def read_exterior_orientations_flat(path, camera: Camera) -> Camera:
     return camera
 
 
-def read_interior_orientation_flat(path, camera: Camera) -> Camera:
+def read_interior_orientation_flat(path, camera: Camera, interrupt=None) -> Camera:
     """`camId x0 y0 c` (InteriorOrientationFlatFileReader.java:66-94)."""
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         cols = line.split()
         if len(cols) < 4:
             continue
@@ -116,10 +152,11 @@ def read_interior_orientation_flat(path, camera: Camera) -> Camera:
     return camera
 
 
-def read_scale_bars_flat(path, coordinates: dict[str, ObjectCoordinate]) -> list[ScaleBar]:
+def read_scale_bars_flat(path, coordinates: dict[str, ObjectCoordinate],
+                         interrupt=None) -> list[ScaleBar]:
     """`nameA nameB length sigma` (ScaleBarFlatFileReader.java:76-104)."""
     out = []
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         cols = line.split()
         if len(cols) < 4:
             continue
@@ -145,7 +182,8 @@ _DEFAULT_IOR_TYPES = (
 )
 
 
-def read_ior(path, extra_types: tuple[DistortionType, ...] = ()) -> Camera:
+def read_ior(path, extra_types: tuple[DistortionType, ...] = (),
+             interrupt=None) -> Camera:
     """AICON `.ior` 5-line camera file (IORFileReader.java:95-206):
 
     line 1: camId internal ck xh yh A1 A2 R0 — ck sign-flipped;
@@ -157,7 +195,7 @@ def read_ior(path, extra_types: tuple[DistortionType, ...] = ()) -> Camera:
     camera: Optional[Camera] = None
     line_lengths = [8, 1, 2, 2, 4]
     counter = 0
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         cols = line.split()
         if counter >= len(line_lengths) or len(cols) < line_lengths[counter]:
             continue
@@ -197,11 +235,11 @@ def read_ior(path, extra_types: tuple[DistortionType, ...] = ()) -> Camera:
     return camera
 
 
-def read_eor(path, camera: Camera) -> Camera:
+def read_eor(path, camera: Camera, interrupt=None) -> Camera:
     """AICON `.eor` (EORFileReader.java:70-128): keeps rows with CAP
     rotation order (col 9 == 0), active (col 10 != 0), oriented
     (col 11 != 1)."""
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         cols = line.split()
         if len(cols) < 11:
             continue
@@ -220,10 +258,10 @@ def read_eor(path, camera: Camera) -> Camera:
     return camera
 
 
-def read_obc(path) -> dict[str, ObjectCoordinate]:
+def read_obc(path, interrupt=None) -> dict[str, ObjectCoordinate]:
     """AICON `.obc` (OBCFileReader.java:73-111); active flag col 9."""
     out: dict[str, ObjectCoordinate] = {}
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         cols = line.split()
         if len(cols) < 4:
             continue
@@ -240,9 +278,10 @@ def read_obc(path) -> dict[str, ObjectCoordinate]:
 
 
 def read_phc(path, camera: Camera,
-             coordinates: dict[str, ObjectCoordinate]) -> Camera:
+             coordinates: dict[str, ObjectCoordinate],
+             interrupt=None) -> Camera:
     """AICON `.phc` (PHCFileReader.java:74-118); active flag col 10 > 0."""
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         cols = line.split()
         if len(cols) < 11:
             continue
@@ -260,11 +299,12 @@ def read_phc(path, camera: Camera,
     return camera
 
 
-def read_scale(path, coordinates: dict[str, ObjectCoordinate]) -> list[ScaleBar]:
+def read_scale(path, coordinates: dict[str, ObjectCoordinate],
+               interrupt=None) -> list[ScaleBar]:
     """AICON `.scale` (ScaleFileReader.java:77-110): quoted label prefix,
     then nameA nameB length sigma enable."""
     out = []
-    for line in _read_lines(path, "#"):
+    for line in _read_lines(path, "#", interrupt):
         pos = line.rfind('"')
         line = line[pos + 1:].strip()
         cols = line.split()
@@ -324,9 +364,11 @@ class AICONReportReader:
     or the German plain-text headings."""
 
     def __init__(self, path,
-                 datum_coordinates: Optional[dict[str, ObjectCoordinate]] = None):
+                 datum_coordinates: Optional[dict[str, ObjectCoordinate]] = None,
+                 interrupt: Optional[ReadInterrupt] = None):
         self.path = Path(path)
         self.datum_coordinates = datum_coordinates or {}
+        self.interrupt = interrupt
         self.cameras: dict[int, Camera] = {}
         self.images: dict[int, Image] = {}
         self.object_coordinates: dict[str, ObjectCoordinate] = {}
@@ -336,7 +378,7 @@ class AICONReportReader:
 
     def read(self) -> "AICONReportReader":
         section = None
-        for line in _read_lines(self.path):
+        for line in _read_lines(self.path, interrupt=self.interrupt):
             line = line.strip()
             if "#Start" in line or "zum Anfang" in line:
                 section = None

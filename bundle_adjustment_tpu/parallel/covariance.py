@@ -170,6 +170,7 @@ def camera_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
     Rc = jnp.asarray(Rc, dtype)
     Rg = jnp.zeros((6 * k, G), dtype)
     Xc, Xg = _pcg_multi(problem, blocks, Rc, Rg, Minv, tol=tol, maxiter=maxiter)
-    out = Xc[:, image_ids, :].reshape(k, 6, k, 6)
-    # diagonal blocks: out[j, :, j, :]
-    return jnp.stack([out[j, :, j, :] for j in range(k)])
+    # gather each image's own 6x6 diagonal block directly ([k, 6, 6]) —
+    # never materialise the [k, 6, k, 6] cross product
+    ids = jnp.asarray(image_ids)
+    return Xc.reshape(k, 6, M, 6)[jnp.arange(k), :, ids, :]

@@ -353,7 +353,7 @@ def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg):
 
 
 def prepare(p: FMProblem, state: ParamState, spec, damping,
-            couple_global: bool = True):
+            couple_global: bool = False):
     """Linearise + build rhs and the (camera, global) block preconditioner.
 
     All per-image reductions are fused into one [N, 39 + 6G] pass (cf.
@@ -445,10 +445,8 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
         return b, rc, rg, rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g)
 
     Scg = red[:, 39:].reshape(p.num_images, 6, G2)
-    Wpc = jnp.einsum("mab,mbg->mag", Minv_c, Scg)
-    Sghat = Sgg - jnp.einsum("mag,mah->gh", Scg, Wpc)
-    Minv = rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g, Scg=Scg, W=Wpc,
-                       Sghat_inv=jnp.linalg.inv(Sghat))
+    Minv = rcs.finish_coupling(
+        rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g), Scg, Sgg)
     return b, rc, rg, Minv
 
 

@@ -374,6 +374,16 @@ class Precond(NamedTuple):
     Sghat_inv: jnp.ndarray | None = None  # [G, G]
 
 
+def finish_coupling(Minv: Precond, Scg, Sgg) -> Precond:
+    """Complete a coupled `Precond` from the exact off-diagonal Scg [M, 6, G]
+    and global Sgg [G, G] blocks: precompute W = D^{-1} Scg and the inverse
+    of the global Schur complement Sghat = Sgg - Scg^T D^{-1} Scg (the
+    quantities `pcg`'s coupled apply_M consumes)."""
+    W = jnp.einsum("mab,mbg->mag", Minv.Minv_c, Scg)
+    Sghat = Sgg - jnp.einsum("mag,mah->gh", Scg, W)
+    return Minv._replace(Scg=Scg, W=W, Sghat_inv=jnp.linalg.inv(Sghat))
+
+
 def couple_preconditioner(matvec, Minv: Precond, num_images: int, G: int,
                           dtype=jnp.float32) -> Precond:
     """Upgrade a block `Precond` with the exact camera-global coupling.
@@ -391,9 +401,7 @@ def couple_preconditioner(matvec, Minv: Precond, num_images: int, G: int,
         cols_g.append(sg)
     Scg = jnp.stack(cols_c, axis=2)              # [M, 6, G]
     Sgg = jnp.stack(cols_g, axis=1)              # [G, G] (columns)
-    W = jnp.einsum("mab,mbg->mag", Minv.Minv_c, Scg)
-    Sghat = Sgg - jnp.einsum("mag,mah->gh", Scg, W)
-    return Minv._replace(Scg=Scg, W=W, Sghat_inv=jnp.linalg.inv(Sghat))
+    return finish_coupling(Minv, Scg, Sgg)
 
 
 def global_block_preconditioner(p: RCSProblem, b: Blocks):

@@ -33,6 +33,16 @@ class RCSResult:
     omega: float
     max_abs_dx: float
     history: list = field(default_factory=list)
+    # EstimationState-style status taxonomy (EstimationStateType.java:24-60)
+    status: "EstimationState" = None
+
+    def __post_init__(self):
+        if self.status is None:
+            from ..solver.adjustment import EstimationState
+
+            self.status = (EstimationState.ERROR_FREE_ESTIMATION
+                           if self.converged
+                           else EstimationState.NO_CONVERGENCE)
 
 
 def solve(problem: rcs.RCSProblem, state: ParamState, spec,
@@ -123,7 +133,12 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
                          max_abs_dx=max_dx).save(checkpoint_path)
 
         if not np.isfinite(max_dx):
-            break
+            from ..solver.adjustment import EstimationState
+
+            return RCSResult(state=state, converged=False, iterations=it_done,
+                             omega=omega_prev, max_abs_dx=max_dx,
+                             history=history,
+                             status=EstimationState.SINGULAR_MATRIX)
         if max_dx <= tolerance and adapted == 0:
             converged = True
             break

@@ -399,10 +399,19 @@ class BundleAdjustment:
                         self._fire(self.status.name, False, True)
                 else:
                     dx = np.asarray(kernels.solve_intermediate(state, adapted_damping))
-            except Exception:  # singular / numerical failure
+            except (np.linalg.LinAlgError, FloatingPointError):
+                # factorisation failure (jnp.linalg usually signals
+                # singularity via NaN instead — caught by the non-finite
+                # check below; EstimationStateType.java:36-42)
                 self.status = EstimationState.SINGULAR_MATRIX
                 self._fire(self.status.name, False, True)
                 return self.status
+            except Exception as exc:  # XLA runtime errors: map OOM, re-raise bugs
+                if "RESOURCE_EXHAUSTED" in str(exc) or isinstance(exc, MemoryError):
+                    self.status = EstimationState.OUT_OF_MEMORY
+                    self._fire(self.status.name, False, True)
+                    return self.status
+                raise
 
             # ---- updateModel (:389-442)
             rejected = False

@@ -109,3 +109,45 @@ def test_scenario_batched_lm():
             batch, spec, 0.0, cg_tol=1e-12, cg_maxiter=300)
         batch = batch._replace(states=new_states)
     assert np.all(np.asarray(max_dx) < 1e-8)
+
+
+def test_reader_interrupt_and_lock(tmp_path):
+    """Cooperative interrupt stops the line loop; the shared advisory lock is
+    released after the read (LockFileReader.java:80,105-107)."""
+    from bundle_adjustment_tpu.io.readers import (
+        ReadInterrupt, _read_lines, read_object_coordinates_flat)
+
+    f = tmp_path / "pts.txt"
+    f.write_text("\n".join(f"P{i} {i} {i} {i}" for i in range(100)))
+
+    # interrupt raised before reading -> nothing imported
+    intr = ReadInterrupt()
+    intr.interrupt()
+    assert read_object_coordinates_flat(f, interrupt=intr) == {}
+
+    # interrupt raised mid-read -> partial import, loop stops
+    intr = ReadInterrupt()
+    seen = []
+    for line in _read_lines(f, "#", intr):
+        seen.append(line)
+        if len(seen) == 5:
+            intr.interrupt()
+    assert len(seen) == 5
+
+    # lock is released: an exclusive flock succeeds after the read
+    import fcntl
+    with open(f) as fh:
+        fcntl.flock(fh.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+        fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+
+
+def test_rcs_result_status():
+    from bundle_adjustment_tpu.parallel.solver import RCSResult
+    from bundle_adjustment_tpu.solver.adjustment import EstimationState
+
+    r = RCSResult(state=None, converged=True, iterations=3, omega=1.0,
+                  max_abs_dx=0.0)
+    assert r.status == EstimationState.ERROR_FREE_ESTIMATION
+    r = RCSResult(state=None, converged=False, iterations=3, omega=1.0,
+                  max_abs_dx=1.0)
+    assert r.status == EstimationState.NO_CONVERGENCE
