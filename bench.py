@@ -26,8 +26,13 @@ import time
 import numpy as np
 
 
-def build_problem(num_points, num_images, views_per_point, dtype, seed=0):
-    """Array-native synthetic network (no Python object graph at this scale)."""
+def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
+                  zernike=()):
+    """Array-native synthetic network (no Python object graph at this scale).
+
+    ``zernike``: optional (DistortionType, fringe_index) tuples added to the
+    distortion spec with small non-zero true coefficients (the Zernike
+    calibration regime of ExampleDistortionModel.java:58-187)."""
     import jax
     import jax.numpy as jnp
 
@@ -49,11 +54,15 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0):
     builder.add_radial_order(1)
     builder.add_radial_order(2)
     builder.add_radial_order(3)
+    for kind, fringe in zernike:
+        builder.add_zernike(kind, fringe)
     spec = builder.build()
     K = spec.num_coefficients
     dist = np.zeros((1, K))
     dist[0, spec.slot_index(2, 1)] = -1.1e-4  # A1 (RADIAL_DISTORTION)
     dist[0, spec.slot_index(2, 2)] = 1.5e-7
+    for kind, fringe in zernike:
+        dist[0, spec.slot_index(kind, fringe)] = 2e-5 * (1 + fringe % 3)
 
     eo = np.zeros((num_images, 6))
     R = field * 2.0

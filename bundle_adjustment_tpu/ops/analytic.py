@@ -7,8 +7,10 @@ bit-comparable rows with a far smaller compiled program than jacfwd — the
 jacfwd HLO replays the forward model once per tangent (L = 12+K), this path
 computes one forward pass plus the closed forms.
 
-Zernike models have no closed-form implementation here (their AD Jacobian is
-the oracle-tested production path); `supports_spec` reports applicability.
+Zernike X/Y/Gradient partials come from `ops.distortion.zernike_contribution`
+(two jvp passes over the exact forward deltas — equal to the reference chain
+rule, ZernikeDistortionModelFactory.java:41-228); the jacfwd path remains the
+independent oracle (tests/test_analytic_jacobian.py).
 """
 
 from __future__ import annotations
@@ -17,12 +19,16 @@ import jax.numpy as jnp
 
 from ..models.distortion import DistortionSpec, DistortionType
 from .collinearity import analytic_partials
+from .distortion import zernike_contribution
 
 _SUPPORTED = {
     DistortionType.AFFINITY_AND_SHEAR,
     DistortionType.TANGENTIAL_DISTORTION,
     DistortionType.RADIAL_DISTORTION,
     DistortionType.DISTANCE_DISTORTION,
+    DistortionType.ZERNIKE_X,
+    DistortionType.ZERNIKE_Y,
+    DistortionType.ZERNIKE_GRADIENT,
 }
 
 
@@ -78,6 +84,15 @@ def analytic_image_jacobian_and_residual(local, obs_xy, spec: DistortionSpec, r0
     dX_dN = dY_dN = zero
     coeff_rows_x = []
     coeff_rows_y = []
+
+    zc = zernike_contribution(xs, ys, coeffs, spec, r0)
+    if zc is not None:
+        deltaX = deltaX + zc.deltaX
+        deltaY = deltaY + zc.deltaY
+        dX_dxs = dX_dxs + zc.dX_dxs
+        dX_dys = dX_dys + zc.dX_dys
+        dY_dxs = dY_dxs + zc.dY_dxs
+        dY_dys = dY_dys + zc.dY_dys
 
     # tangential base term handled jointly with its higher orders
     tang = [(i, s) for i, s in enumerate(spec.slots)
@@ -149,6 +164,10 @@ def analytic_image_jacobian_and_residual(local, obs_xy, spec: DistortionSpec, r0
                 ri = r2**slot.order
                 coeff_rows_x.append(base_x * ri)
                 coeff_rows_y.append(base_y * ri)
+        elif zc is not None and i in zc.rows:
+            rx, ry = zc.rows[i]
+            coeff_rows_x.append(rx)
+            coeff_rows_y.append(ry)
         else:  # pragma: no cover - guarded by supports_spec
             raise NotImplementedError(k)
 

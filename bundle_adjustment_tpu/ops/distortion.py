@@ -24,9 +24,15 @@ reference's analytic A-matrix entries.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 
 from ..models.distortion import DistortionSpec, DistortionType
+
+_ZERNIKE_KINDS = (DistortionType.ZERNIKE_X, DistortionType.ZERNIKE_Y,
+                  DistortionType.ZERNIKE_GRADIENT)
 
 
 def distortion_delta(xs, ys, N, coeffs, spec: DistortionSpec, r0):
@@ -134,3 +140,69 @@ def _zernike_gradient_delta(xs, ys, r2, r02, z, zp):
         dx = dx + z * const_c * cx
         dy = dy + z * const_c * cy
     return dx, dy
+
+
+class ZernikeContribution(NamedTuple):
+    """Total Zernike delta + partials (see `zernike_contribution`)."""
+
+    deltaX: jnp.ndarray
+    deltaY: jnp.ndarray
+    dX_dxs: jnp.ndarray
+    dX_dys: jnp.ndarray
+    dY_dxs: jnp.ndarray
+    dY_dys: jnp.ndarray
+    # slot index -> (d deltaX / d z_i, d deltaY / d z_i): the unit-coefficient
+    # deltas (delta is linear in its coefficient)
+    rows: dict
+
+
+def zernike_contribution(xs, ys, coeff_vals, spec: DistortionSpec, r0):
+    """Closed-form-equivalent Zernike partial derivatives, shape-polymorphic
+    (scalars in the vmapped analytic path, [N] feature rows in the
+    feature-major engine).
+
+    The reference's analytic chain rule
+    (ZernikeDistortionModelFactory.java:41-228) is exactly forward-mode AD of
+    the forward deltas above, so d/dxs and d/dys are taken with two jvp
+    passes over the summed contribution; the per-coefficient A-columns are
+    the unit-coefficient deltas (the models are linear in z).
+
+    ``coeff_vals``: indexable per-slot coefficient values.
+    Returns None when the spec has no Zernike slots.
+    """
+    zslots = [(i, s, spec.zernike[i]) for i, s in enumerate(spec.slots)
+              if s.kind in _ZERNIKE_KINDS]
+    if not zslots:
+        return None
+    r02 = r0 * r0
+
+    def total(xs_, ys_):
+        r2_ = xs_ * xs_ + ys_ * ys_
+        dx = jnp.zeros_like(xs_)
+        dy = jnp.zeros_like(ys_)
+        for i, s, zp in zslots:
+            if s.kind == DistortionType.ZERNIKE_GRADIENT:
+                zdx, zdy = _zernike_gradient_delta(
+                    xs_, ys_, r2_, r02, coeff_vals[i], zp)
+            else:
+                zdx, zdy = _zernike_xy_delta(
+                    xs_, ys_, r2_, r02, coeff_vals[i], zp, s.kind)
+            dx = dx + zdx
+            dy = dy + zdy
+        return dx, dy
+
+    one = jnp.ones_like(xs)
+    zero = jnp.zeros_like(xs)
+    (dX, dY), (dX_dxs, dY_dxs) = jax.jvp(total, (xs, ys), (one, zero))
+    _, (dX_dys, dY_dys) = jax.jvp(total, (xs, ys), (zero, one))
+
+    r2 = xs * xs + ys * ys
+    rows = {}
+    for i, s, zp in zslots:
+        if s.kind == DistortionType.ZERNIKE_GRADIENT:
+            rows[i] = _zernike_gradient_delta(xs, ys, r2, r02, 1.0, zp)
+        else:
+            rows[i] = _zernike_xy_delta(xs, ys, r2, r02, 1.0, zp, s.kind)
+    return ZernikeContribution(deltaX=dX, deltaY=dY, dX_dxs=dX_dxs,
+                               dX_dys=dX_dys, dY_dxs=dY_dxs, dY_dys=dY_dys,
+                               rows=rows)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..models.distortion import DistortionSpec, DistortionType
 from .analytic import supports_spec  # noqa: F401  (same support surface)
+from .distortion import zernike_contribution
 
 
 class RotationRows(NamedTuple):
@@ -143,6 +144,15 @@ def jacobian_rows(X, Y, Z, x0, y0, c, X0, Y0, Z0, omega, phi, kappa,
     coeff_rows_x = []
     coeff_rows_y = []
 
+    zc = zernike_contribution(xs, ys, coeffs, spec, r0)
+    if zc is not None:
+        deltaX = deltaX + zc.deltaX
+        deltaY = deltaY + zc.deltaY
+        dX_dxs = dX_dxs + zc.dX_dxs
+        dX_dys = dX_dys + zc.dX_dys
+        dY_dxs = dY_dxs + zc.dY_dxs
+        dY_dys = dY_dys + zc.dY_dys
+
     tang = [(i, s) for i, s in enumerate(spec.slots)
             if s.kind == DistortionType.TANGENTIAL_DISTORTION]
     if tang:
@@ -211,6 +221,10 @@ def jacobian_rows(X, Y, Z, x0, y0, c, X0, Y0, Z0, omega, phi, kappa,
                 ri = r2**slot.order
                 coeff_rows_x.append(base_x * ri)
                 coeff_rows_y.append(base_y * ri)
+        elif zc is not None and i in zc.rows:
+            rx, ry = zc.rows[i]
+            coeff_rows_x.append(rx)
+            coeff_rows_y.append(ry)
         else:  # pragma: no cover - guarded by supports_spec
             raise NotImplementedError(k)
 

@@ -146,6 +146,34 @@ def point_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
     return blocks.Hpp_inv[point_ids] + corr
 
 
+def point_pair_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
+                                 pairs, tol=1e-8, maxiter=400):
+    """Exact 3x3 cross-point posterior cofactor blocks Q[p, q] for the given
+    (p, q) index pairs: Q[p, q] = C_p^T S^{-1} C_q (p != q; Hpp is block
+    diagonal so there is no direct term) — the off-diagonal dispersion
+    structure that is the library's raison d'etre (README.md:11-25), here
+    recovered matrix-free at scale.  Returns [k, 3, 3]."""
+    pairs = np.asarray(pairs)
+    ids_p = jnp.asarray(pairs[:, 0])
+    ids_q = jnp.asarray(pairs[:, 1])
+    Minv = rcs.Precond(
+        Minv_c=rcs.camera_block_preconditioner(problem, blocks),
+        Minv_g=rcs.global_block_preconditioner(problem, blocks))
+    Minv = rcs.couple_preconditioner(
+        lambda c, g: rcs.schur_matvec(problem, blocks, c, g), Minv,
+        problem.num_images, blocks.Jg.shape[2], blocks.Jp.dtype)
+    Cp_c, Cp_g = _coupling_columns(problem, blocks, ids_p)
+    Cq_c, Cq_g = _coupling_columns(problem, blocks, ids_q)
+    k = pairs.shape[0]
+    Rc = Cq_c.transpose(0, 3, 1, 2).reshape(3 * k, Cq_c.shape[1], 6)
+    Rg = Cq_g.transpose(0, 2, 1).reshape(3 * k, Cq_g.shape[1])
+    Xc, Xg = _pcg_multi(problem, blocks, Rc, Rg, Minv, tol=tol, maxiter=maxiter)
+    Xc = Xc.reshape(k, 3, -1, 6).transpose(0, 2, 3, 1)  # [k, M, 6, 3]
+    Xg = Xg.reshape(k, 3, -1).transpose(0, 2, 1)        # [k, G, 3]
+    return (jnp.einsum("kmab,kmac->kbc", Cp_c, Xc)
+            + jnp.einsum("kab,kac->kbc", Cp_g, Xg))
+
+
 def camera_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
                              image_ids, tol=1e-8, maxiter=400):
     """Exact 6x6 posterior cofactor blocks of selected images' EO:

@@ -63,7 +63,32 @@ def test_analytic_no_distortion():
     assert np.allclose(np.asarray(J_an), J_ad, rtol=1e-12, atol=1e-14)
 
 
-def test_supports_spec_rejects_zernike():
+def test_analytic_zernike_matches_ad():
+    """Zernike X/Y/Gradient closed-form rows == jacfwd of the forward deltas
+    (ZernikeDistortionModelFactory.java:41-228)."""
     b = DistortionSpecBuilder()
-    b.add_zernike(DistortionType.ZERNIKE_GRADIENT, 4)
-    assert not supports_spec(b.build())
+    b.add_radial_order(1)
+    b.add_affinity()
+    b.add_tangential()
+    b.add_distance_order(1)
+    for f in (3, 4, 11, 12):
+        b.add_zernike(DistortionType.ZERNIKE_GRADIENT, f)
+    b.add_zernike(DistortionType.ZERNIKE_X, 5)
+    b.add_zernike(DistortionType.ZERNIKE_Y, 6)
+    spec = b.build()
+    assert supports_spec(spec)
+
+    rng = np.random.default_rng(23)
+    for _ in range(3):
+        point = rng.uniform(-100, 100, 3)
+        eo = np.concatenate([rng.uniform(200, 400, 3),
+                             rng.uniform(-0.3, 0.3, 3)])
+        coeffs = rng.normal(0, 1e-4, spec.num_coefficients)
+        local = jnp.asarray(np.concatenate([point, IO, eo, coeffs]))
+        obs = jnp.asarray([0.1, -0.2])
+        r0 = 10.0
+        J_ad = np.asarray(image_point_jacobian(local, spec, r0))
+        w_ad = np.asarray(image_point_residual(local, obs, spec, r0))
+        J_an, w_an = analytic_image_jacobian_and_residual(local, obs, spec, r0)
+        assert np.allclose(np.asarray(w_an), w_ad, rtol=1e-12, atol=1e-15)
+        assert np.allclose(np.asarray(J_an), J_ad, rtol=1e-9, atol=1e-12)

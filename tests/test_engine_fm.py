@@ -178,3 +178,113 @@ def test_pad_problem_parity(small_problem):
     np.testing.assert_allclose(dxp[:500], dxp_r, rtol=1e-6, atol=1e-10)
     np.testing.assert_array_equal(np.asarray(dxp[500:]), 0.0)
     np.testing.assert_allclose(dxc, dxc_r, rtol=1e-6, atol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def zernike_problem():
+    """Zernike-Gradient calibration regime (ExampleDistortionModel.java:72-87)
+    on the synthetic network: radial + tangential + affinity + Zernike
+    gradient fringes 4 and 12 and a Zernike-X fringe 5."""
+    import bench as B
+    from bundle_adjustment_tpu.models.distortion import DistortionType as DT
+
+    problem, state, spec = B.build_problem(
+        256, 16, 8, jnp.float64, seed=7,
+        zernike=((DT.ZERNIKE_GRADIENT, 4), (DT.ZERNIKE_GRADIENT, 12),
+                 (DT.ZERNIKE_X, 5)))
+    return problem, state, spec
+
+
+def test_zernike_fm_linearize_matches_rcs(zernike_problem):
+    """Feature-major Zernike rows vs the scalar analytic path (itself pinned
+    to jacfwd of the forward deltas in test_analytic_jacobian)."""
+    problem, state, spec = zernike_problem
+    damping = jnp.asarray(1e-3)
+    b_ref = rcs.linearize(problem, state, spec, damping)
+    p = engine.fm_problem(problem)
+    b = engine.linearize(p, state, spec, damping)
+    G = b_ref.Jg.shape[2]
+    assert G == 3 + spec.num_coefficients
+    for g in range(G):
+        np.testing.assert_allclose(b.Jg[g], b_ref.Jg[:, 0, g],
+                                   rtol=1e-11, atol=1e-14)
+        np.testing.assert_allclose(b.Jg[G + g], b_ref.Jg[:, 1, g],
+                                   rtol=1e-11, atol=1e-14)
+    np.testing.assert_allclose(b.w[0], b_ref.w[:, 0], rtol=1e-12)
+    np.testing.assert_allclose(b.w[1], b_ref.w[:, 1], rtol=1e-12)
+
+
+def test_zernike_lm_step_matches_rcs(zernike_problem):
+    problem, state, spec = zernike_problem
+    damping = jnp.asarray(1e-4)
+    dxp_r, dxc_r, dxg_r, b_r, _ = rcs.lm_step(
+        problem, state, spec, damping, cg_tol=1e-12, cg_maxiter=800)
+    p = engine.fm_problem(problem)
+    dxp, dxc, dxg, b, _ = engine.lm_step(
+        p, state, spec, damping, cg_tol=1e-12, cg_maxiter=800)
+    np.testing.assert_allclose(dxp, dxp_r, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(dxc, dxc_r, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(dxg, dxg_r, rtol=1e-5, atol=1e-9)
+    om = engine.omega_at(p, b, dxp, dxc, dxg)
+    om_r = rcs.omega_at(problem, b_r, dxp_r, dxc_r, dxg_r)
+    np.testing.assert_allclose(om, om_r, rtol=1e-8)
+
+
+def test_zernike_pallas_matvec_interpret(zernike_problem):
+    """The packed kernel is generic in G; check it carries the Zernike
+    global rows correctly (interpret mode)."""
+    from bundle_adjustment_tpu.parallel import kernels
+
+    problem, state, spec = zernike_problem
+    damping = jnp.asarray(1e-3)
+    p = engine.fm_problem(problem)
+    b, rc, rg, Minv = engine.prepare(p, state, spec, damping)
+    b32 = jax.tree.map(lambda x: x.astype(jnp.float32)
+                       if x.dtype == jnp.float64 else x, b)
+    pp = kernels.pack_fm(b32, p)
+    rng = np.random.default_rng(2)
+    xc = jnp.asarray(rng.normal(size=rc.shape), jnp.float32)
+    xg = jnp.asarray(rng.normal(size=rg.shape), jnp.float32)
+    mv = kernels.make_matvec(
+        pp, b32.extra_c.astype(jnp.float32),
+        b32.extra_g.astype(jnp.float32), interpret=True)
+    oc, og = mv(xc, xg)
+    oc_ref, og_ref = engine.schur_matvec(p, b, xc.astype(jnp.float64),
+                                         xg.astype(jnp.float64))
+    scale = float(jnp.max(jnp.abs(oc_ref)))
+    np.testing.assert_allclose(oc, oc_ref, rtol=2e-4, atol=2e-4 * scale)
+    np.testing.assert_allclose(og, og_ref, rtol=2e-4,
+                               atol=2e-4 * float(jnp.max(jnp.abs(og_ref))))
+
+
+def test_zernike_solver_convergence():
+    """End-to-end Zernike-Gradient calibration at scale: mirrors
+    ExampleDistortionModel.java:72-87 — the principal distance c and the
+    polynomial radial model are held fixed (the m = 0 Zernike gradients span
+    exactly the radial-polynomial + scale basis, so leaving both free is a
+    rank defect by construction).  The LM driver must converge with Omega at
+    the noise level."""
+    import bench as B
+    from bundle_adjustment_tpu.models.distortion import DistortionType as DT
+    from bundle_adjustment_tpu.parallel import solver
+
+    problem, state, spec = B.build_problem(
+        256, 16, 8, jnp.float64, seed=7,
+        zernike=((DT.ZERNIKE_GRADIENT, 12), (DT.ZERNIKE_GRADIENT, 24),
+                 (DT.ZERNIKE_X, 5)))
+    fg = np.asarray(problem.free_global).copy()
+    fg[2] = 0.0  # c
+    for o in (1, 2, 3):
+        fg[3 + spec.slot_index(DT.RADIAL_DISTORTION, o)] = 0.0
+    problem = problem._replace(free_global=jnp.asarray(fg))
+
+    res = solver.solve(problem, state, spec, damping=1e-2,
+                       max_iterations=20, cg_tol=1e-11, cg_maxiter=1000)
+    assert res.converged
+    assert res.max_abs_dx < 1e-8
+    # Omega ~ dof * sigma^2 with sigma = 5e-4 and unit weights (sigma0 = sigma)
+    n_rows = 2 * problem.obs_point.shape[0]
+    u = int(np.sum(np.asarray(problem.free_point))
+            + np.sum(np.asarray(problem.free_eo)) + np.sum(fg))
+    expected = (n_rows - u) * (5e-4) ** 2
+    assert abs(res.omega / expected - 1.0) < 0.2
