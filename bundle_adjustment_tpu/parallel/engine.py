@@ -54,6 +54,13 @@ class FMProblem(NamedTuple):
     free_global: jnp.ndarray  # [G]
     img_perm: jnp.ndarray    # [Nip] int32 (pad entries == N)
     img_block_starts: jnp.ndarray  # [M+1] int32 (block units)
+    # directly observed parameters with diagonal weights (cf. rcs.RCSProblem)
+    dp_w: jnp.ndarray | None = None    # [P, 3]
+    dp_val: jnp.ndarray | None = None  # [P, 3]
+    de_w: jnp.ndarray | None = None    # [M, 6]
+    de_val: jnp.ndarray | None = None  # [M, 6]
+    dg_w: jnp.ndarray | None = None    # [G]
+    dg_val: jnp.ndarray | None = None  # [G]
 
 
 class FMBlocks(NamedTuple):
@@ -96,6 +103,8 @@ def fm_problem(p: rcs.RCSProblem) -> FMProblem:
         free_point=jnp.asarray(p.free_point.T),
         free_eo=p.free_eo, free_global=p.free_global,
         img_perm=p.img_perm, img_block_starts=p.img_block_starts,
+        dp_w=p.dp_w, dp_val=p.dp_val, de_w=p.de_w, de_val=p.de_val,
+        dg_w=p.dg_w, dg_val=p.dg_val,
     )
 
 
@@ -134,11 +143,18 @@ def pad_problem(problem: rcs.RCSProblem, state: ParamState,
 
     img_perm, img_bs = rcs.build_image_block_layout(
         np.asarray(obs_image), problem.num_images)
+    extra_fields = {}
+    if problem.dp_w is not None:
+        extra_fields["dp_w"] = cat(problem.dp_w, jnp.zeros((extra, 3), dt))
+        extra_fields["dp_val"] = cat(problem.dp_val, jnp.zeros((extra, 3), dt))
+    if problem.datum_mask_d is not None:
+        extra_fields["datum_mask_d"] = cat(problem.datum_mask_d,
+                                           jnp.zeros(extra, dt))
     problem = problem._replace(
         obs_point=obs_point, obs_image=obs_image, obs_xy=obs_xy,
         obs_weight=obs_weight, free_point=free_point, num_points=P_pad,
         img_perm=jnp.asarray(img_perm), img_block_starts=jnp.asarray(img_bs),
-        point2obs=None, img2obs=None,
+        point2obs=None, img2obs=None, **extra_fields,
     )
     state = state._replace(points=cat(
         state.points, jnp.broadcast_to(state.points[0], (extra, 3))))
@@ -288,9 +304,23 @@ def linearize(p: FMProblem, state: ParamState, spec, damping) -> FMBlocks:
     e0 = damping * m00 + (1.0 - fpc[0])
     e1 = damping * m11 + (1.0 - fpc[1])
     e2 = damping * m22 + (1.0 - fpc[2])
+    bp = [_point_sum(p, Jp[a] * Pw[0] + Jp[3 + a] * Pw[1]) for a in range(3)]
+
+    # directly observed point coordinates, diagonal weights (cf. rcs.linearize)
+    if p.dp_w is not None:
+        w_dp = p.dp_val - pts
+        for a in range(3):
+            wp = p.dp_w[:, a] * fpc[a]
+            bp[a] = bp[a] + wp * w_dp[:, a]
+        e0 = e0 + p.dp_w[:, 0] * fpc[0] * (1.0 + damping)
+        e1 = e1 + p.dp_w[:, 1] * fpc[1] * (1.0 + damping)
+        e2 = e2 + p.dp_w[:, 2] * fpc[2] * (1.0 + damping)
+        omega0 = omega0 + jnp.sum(p.dp_w * w_dp * w_dp)
+    if p.de_w is not None:
+        w_de = p.de_val - state.eo
+        omega0 = omega0 + jnp.sum(p.de_w * w_de * w_de)
     Hpp_inv = _sym3_inverse(m00 + e0, m01, m02, m11 + e1, m12, m22 + e2)
-    bp = tuple(_point_sum(p, Jp[a] * Pw[0] + Jp[3 + a] * Pw[1])
-               for a in range(3))
+    bp = tuple(bp)
 
     G2 = len(Jg) // 2
     Hgg_diag = jnp.stack([jnp.sum(Jg[g] * PJg[g] + Jg[G2 + g] * PJg[G2 + g])
@@ -298,6 +328,13 @@ def linearize(p: FMProblem, state: ParamState, spec, damping) -> FMBlocks:
     extra_g = damping * Hgg_diag + (1.0 - p.free_global)
     bg = jnp.stack([jnp.sum(Jg[g] * Pw[0] + Jg[G2 + g] * Pw[1])
                     for g in range(G2)])
+    if p.dg_w is not None:
+        gvec = jnp.concatenate([state.io, state.dist], axis=1).reshape(-1)
+        w_dg = p.dg_val - gvec
+        wg = p.dg_w * p.free_global
+        extra_g = extra_g + wg * (1.0 + damping)
+        bg = bg + wg * w_dg
+        omega0 = omega0 + jnp.sum(p.dg_w * w_dg * w_dg)
 
     return FMBlocks(Jp=Jp, PJp=PJp, Jc=Jc, PJc=PJc, Jg=Jg, PJg=PJg,
                     w=(w0, w1), Pw=Pw, Hpp_inv=Hpp_inv, bp=bp,
@@ -415,6 +452,10 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     red = _image_sum_stack(p, rows)  # [M, 39 (+ 6G)]
     bc = red[:, :6]
     extra_c = damping * red[:, 6:12] + (1.0 - p.free_eo)
+    if p.de_w is not None:
+        we = p.de_w * p.free_eo
+        bc = bc + we * (p.de_val - state.eo)
+        extra_c = extra_c + we * (1.0 + damping)
     rc = bc - red[:, 12:18]
     tri = red[:, 18:39]
     iu = np.triu_indices(6)
@@ -474,6 +515,105 @@ def omega_at(p: FMProblem, b: FMBlocks, dxp, dxc, dxg):
     pv0 = p.wxx * v[0] + p.wxy * v[1]
     pv1 = p.wxy * v[0] + p.wyy * v[1]
     return jnp.sum(v[0] * pv0 + v[1] * pv1)
+
+
+def point_ops(p: FMProblem, b: FMBlocks):
+    """Layout-specific closures for parallel/freenet.py (feature-major)."""
+    from . import freenet
+
+    def hinv(v):
+        return jnp.stack(_hinv_apply(b.Hpp_inv, v[:, 0], v[:, 1], v[:, 2]),
+                         axis=1)
+
+    def hinv_at(idx):
+        h = [r[idx] for r in b.Hpp_inv]  # 6 sym rows at selected points
+        return jnp.stack([
+            jnp.stack([h[0], h[1], h[2]], axis=1),
+            jnp.stack([h[1], h[3], h[4]], axis=1),
+            jnp.stack([h[2], h[4], h[5]], axis=1),
+        ], axis=1)  # [k, 3, 3]
+
+    def hxp(v):
+        vo = [_point_expand(p, v[:, a]) for a in range(3)]
+        u = [sum(b.PJp[i * 3 + a] * vo[a] for a in range(3)) for i in (0, 1)]
+        qc = [b.Jc[a] * u[0] + b.Jc[6 + a] * u[1] for a in range(6)]
+        oc = _image_sum_stack(p, qc)
+        G2 = len(b.Jg) // 2
+        og = jnp.stack([jnp.sum(b.Jg[g] * u[0] + b.Jg[G2 + g] * u[1])
+                        for g in range(G2)])
+        return oc, og
+
+    def hpx(xc, xg):
+        t = _t_rows(p, b, xc, xg)
+        return jnp.stack(
+            [_point_sum(p, b.Jp[a] * t[0] + b.Jp[3 + a] * t[1])
+             for a in range(3)], axis=1)
+
+    return freenet.PointOps(hinv=hinv, hinv_at=hinv_at, hxp=hxp, hpx=hpx)
+
+
+def omega_at_full(p: FMProblem, rp, b: FMBlocks, ext, dxp, dxc, dxg,
+                  state: ParamState):
+    """Omega(dx) including scale-bar and direct-observation rows.  ``rp`` is
+    the underlying rcs.RCSProblem (carries the scale-bar arrays)."""
+    from . import freenet
+
+    om = omega_at(p, b, dxp, dxc, dxg)
+    if ext is not None:
+        om = om + freenet.omega_extras(rp, ext, dxp)
+    if p.dp_w is not None:
+        v = (p.dp_val - state.points) - dxp
+        om = om + jnp.sum(p.dp_w * v * v)
+    if p.de_w is not None:
+        v = (p.de_val - state.eo) - dxc
+        om = om + jnp.sum(p.de_w * v * v)
+    if p.dg_w is not None:
+        gvec = jnp.concatenate([state.io, state.dist], axis=1).reshape(-1)
+        v = (p.dg_val - gvec) - dxg
+        om = om + jnp.sum(p.dg_w * v * v)
+    return om
+
+
+def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
+                 cg_tol=1e-10, cg_maxiter=200, use_pallas=False,
+                 pallas_pb=None, couple_global=True):
+    """lm_step extended with scale bars and the inner-constraint datum
+    (exact low-rank corrections, parallel/freenet.py).  ``rp`` is the
+    underlying rcs.RCSProblem carrying sb_*/datum fields.
+    Returns (dxp, dxc, dxg, blocks, cg_it, extras-or-None)."""
+    from . import freenet
+
+    b, rc, rg, Minv = prepare(p, state, spec, damping,
+                              couple_global=couple_global)
+    ext = None
+    if rp.has_extras:
+        ops = point_ops(p, b)
+        bp3 = jnp.stack(b.bp, axis=1)
+        ext = freenet.prepare_extras(rp, state, bp3, rc, rg, ops, b.omega0)
+        b = b._replace(bp=tuple(ext.bp_full[:, a] for a in range(3)),
+                       omega0=ext.omega0)
+        rc, rg = ext.rc, ext.rg
+    b, ext, rc, rg, Minv = jax.lax.optimization_barrier(
+        (b, ext, rc, rg, Minv))
+    if use_pallas:
+        from . import kernels
+
+        pp = kernels.pack_fm(b, p)
+        arrs = jax.lax.optimization_barrier(
+            (pp.packed, pp.obs_img, pp.hppinv))
+        pp = pp._replace(packed=arrs[0], obs_img=arrs[1], hppinv=arrs[2])
+        base = kernels.make_matvec(pp, b.extra_c, b.extra_g, pb=pallas_pb)
+    else:
+        def base(c, g):
+            return schur_matvec(p, b, c, g)
+    mv = freenet.wrap_matvec(base, ext) if ext is not None else base
+    xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
+                         maxiter=cg_maxiter, matvec=mv)
+    if ext is not None:
+        dxp, _lam = freenet.back_substitute(rp, ext, point_ops(p, b), xc, xg)
+    else:
+        dxp = back_substitute_points(p, b, xc, xg)
+    return dxp, xc, xg, b, it, ext
 
 
 def lm_step(p: FMProblem, state: ParamState, spec, damping,

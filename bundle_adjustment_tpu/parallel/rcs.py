@@ -75,6 +75,31 @@ class RCSProblem(NamedTuple):
     # When the observations are stored point-major with a uniform number of
     # views per point, per-point reductions are pure reshapes (static int).
     point_uniform: int | None = None
+    # ---- free-network extensions (parallel/freenet.py) ----
+    # scale bars (PartialDerivativeFactory.java:210-283): rank-1 rows over
+    # two points, folded into the reduced system via Woodbury
+    sb_a: jnp.ndarray | None = None       # [S] int32
+    sb_b: jnp.ndarray | None = None       # [S] int32
+    sb_length: jnp.ndarray | None = None  # [S]
+    sb_weight: jnp.ndarray | None = None  # [S] sigma0^2 / sigma_s^2
+    # Helmert inner constraints (BundleAdjustment.java:493-635)
+    datum_mask_d: jnp.ndarray | None = None  # [P] 1.0 = datum point
+    defect_flags_d: tuple | None = None      # 7 bools (tx ty tz rx ry rz s)
+    # directly observed parameters with diagonal weights
+    # (PartialDerivativeFactory.java:447-473); weight 0 = not observed
+    dp_w: jnp.ndarray | None = None    # [P, 3]
+    dp_val: jnp.ndarray | None = None  # [P, 3]
+    de_w: jnp.ndarray | None = None    # [M, 6]
+    de_val: jnp.ndarray | None = None  # [M, 6]
+    dg_w: jnp.ndarray | None = None    # [G]
+    dg_val: jnp.ndarray | None = None  # [G]
+
+    @property
+    def has_extras(self) -> bool:
+        """Scale bars or inner constraints present (lm_step_full path)."""
+        return ((self.sb_a is not None and int(self.sb_a.shape[0]) > 0)
+                or (self.defect_flags_d is not None
+                    and any(self.defect_flags_d)))
 
 
 class Blocks(NamedTuple):
@@ -93,6 +118,10 @@ class Blocks(NamedTuple):
     extra_c: jnp.ndarray  # [M, 6] diagonal damping/fixed additions
     extra_g: jnp.ndarray  # [G]
     omega0: jnp.ndarray  # scalar: w^T P w at the linearisation point
+    # misclosures of directly observed parameters (None when absent)
+    w_dp: jnp.ndarray | None = None  # [P, 3]
+    w_de: jnp.ndarray | None = None  # [M, 6]
+    w_dg: jnp.ndarray | None = None  # [G]
 
 
 def _seg(x, ids, num):
@@ -188,9 +217,11 @@ def build_visibility_tables(obs_point, obs_image, num_points, num_images):
 
 
 def rcs_from_problem(bp, dtype=jnp.float64, build_tables: bool = True) -> RCSProblem:
-    """Build an RCSProblem from a compiled dense BundleProblem (image
-    observations only; scale bars / direct observations / inner constraints
-    are the dense solver's domain — use fixed coordinates for the datum)."""
+    """Build an RCSProblem from a compiled dense BundleProblem.  Scale bars,
+    the free-network (inner-constraint) datum and diagonal-weight direct
+    observations are carried over (parallel/freenet.py handles them in the
+    reduced system); direct groups with a fully populated dispersion remain
+    the dense solver's domain."""
     import numpy as np
 
     w2 = jax.vmap(image_weight_2x2)(
@@ -208,6 +239,64 @@ def rcs_from_problem(bp, dtype=jnp.float64, build_tables: bool = True) -> RCSPro
             bp.obs_point, bp.obs_image, bp.num_points, bp.num_images)
         p2o = jnp.asarray(p2o)
         i2o = jnp.asarray(i2o)
+
+    # scale bars
+    sb = {}
+    if bp.num_scale_bars:
+        sb = dict(sb_a=jnp.asarray(bp.sb_a), sb_b=jnp.asarray(bp.sb_b),
+                  sb_length=jnp.asarray(bp.sb_length, dtype),
+                  sb_weight=jnp.asarray(bp.sigma2_apriori / bp.sb_var, dtype))
+
+    # free-network datum
+    datum = {}
+    if bp.defect > 0:
+        datum = dict(datum_mask_d=jnp.asarray(bp.datum_mask.astype(float), dtype),
+                     defect_flags_d=tuple(bp.defect_flags))
+
+    # directly observed parameters (diagonal weights)
+    direct = {}
+    if bp.direct_groups:
+        G = C * (3 + K)
+        dp_w = np.zeros((bp.num_points, 3))
+        dp_val = np.zeros((bp.num_points, 3))
+        de_w = np.zeros((bp.num_images, 6))
+        de_val = np.zeros((bp.num_images, 6))
+        dg_w = np.zeros(G)
+        dg_val = np.zeros(G)
+        for dg in bp.direct_groups:
+            if not dg.diagonal:
+                raise ValueError(
+                    "fully populated direct-observation dispersion is the "
+                    "dense solver's domain (DirectlyObservedParameterGroup"
+                    ".java:67-92); use diagonal weights at scale")
+            wdiag = np.diagonal(dg.weight)
+            for kind, flat, wv, val in zip(dg.kind, dg.flat, wdiag, dg.values):
+                if kind == 0:
+                    dp_w.flat[flat] += wv
+                    dp_val.flat[flat] = val
+                elif kind == 3:
+                    de_w.flat[flat] += wv
+                    de_val.flat[flat] = val
+                elif kind == 1:  # io: per-camera global slot
+                    c, k = divmod(int(flat), 3)
+                    g = c * (3 + K) + k
+                    dg_w[g] += wv
+                    dg_val[g] = val
+                else:  # dist
+                    c, k = divmod(int(flat), K)
+                    g = c * (3 + K) + 3 + k
+                    dg_w[g] += wv
+                    dg_val[g] = val
+        if dp_w.any():
+            direct.update(dp_w=jnp.asarray(dp_w, dtype),
+                          dp_val=jnp.asarray(dp_val, dtype))
+        if de_w.any():
+            direct.update(de_w=jnp.asarray(de_w, dtype),
+                          de_val=jnp.asarray(de_val, dtype))
+        if dg_w.any():
+            direct.update(dg_w=jnp.asarray(dg_w, dtype),
+                          dg_val=jnp.asarray(dg_val, dtype))
+
     return RCSProblem(
         point2obs=p2o,
         img2obs=i2o,
@@ -222,6 +311,7 @@ def rcs_from_problem(bp, dtype=jnp.float64, build_tables: bool = True) -> RCSPro
         free_point=jnp.asarray((bp.col_points >= 0).astype(float), dtype),
         free_eo=jnp.asarray((bp.col_eo >= 0).astype(float), dtype),
         free_global=jnp.asarray(free_global, dtype),
+        **sb, **datum, **direct,
     )
 
 
@@ -285,9 +375,21 @@ def linearize(problem: RCSProblem, state: ParamState, spec, damping,
     Hpp = _seg_point(p, jnp.einsum("nia,nib->nab", Jp, PJp))
     dpp = jnp.diagonal(Hpp, axis1=1, axis2=2)
     extra_p = damping * dpp + (1.0 - p.free_point)
+    bp = _seg_point(p, jnp.einsum("nia,ni->na", Jp, Pw))
+
+    # directly observed point coordinates (diagonal weights): identity rows
+    # add W into the damped diagonal and W (obs - x) into the rhs
+    # (PartialDerivativeFactory.java:447-473; damping multiplies the full
+    # assembled diagonal, BundleAdjustment.java:814-822)
+    w_dp = w_de = w_dg = None
+    if p.dp_w is not None:
+        w_dp = p.dp_val - state.points
+        wp = p.dp_w * p.free_point
+        extra_p = extra_p + wp * (1.0 + damping)
+        bp = bp + wp * w_dp
+        omega0 = omega0 + jnp.sum(p.dp_w * w_dp * w_dp)
     Hpp = Hpp + extra_p[:, :, None] * eye3
     Hpp_inv = jnp.linalg.inv(Hpp)
-    bp = _seg_point(p, jnp.einsum("nia,ni->na", Jp, Pw))
 
     if skip_image_reductions:
         # bc / extra_c are produced by prepare()'s fused reduction
@@ -298,14 +400,32 @@ def linearize(problem: RCSProblem, state: ParamState, spec, damping,
         extra_c = (damping * jnp.diagonal(Hcc_diag, axis1=1, axis2=2)
                    + (1.0 - p.free_eo))
         bc = _seg_image(p, jnp.einsum("nia,ni->na", Jc, Pw))
+        if p.de_w is not None:
+            w_de = p.de_val - state.eo
+            we = p.de_w * p.free_eo
+            extra_c = extra_c + we * (1.0 + damping)
+            bc = bc + we * w_de
+
+    if p.de_w is not None:
+        w_de = p.de_val - state.eo
+        omega0 = omega0 + jnp.sum(p.de_w * w_de * w_de)
 
     Hgg_diag = jnp.einsum("nia,nia->a", Jg, PJg)
     extra_g = damping * Hgg_diag + (1.0 - p.free_global)
     bg = jnp.einsum("nia,ni->a", Jg, Pw)
+    if p.dg_w is not None:
+        C_ = state.io.shape[0]
+        gvec = jnp.concatenate([state.io, state.dist], axis=1).reshape(-1)
+        w_dg = p.dg_val - gvec
+        wg = p.dg_w * p.free_global
+        extra_g = extra_g + wg * (1.0 + damping)
+        bg = bg + wg * w_dg
+        omega0 = omega0 + jnp.sum(p.dg_w * w_dg * w_dg)
 
     return Blocks(Jp=Jp, Jc=Jc, Jg=Jg, PJp=PJp, PJc=PJc, PJg=PJg, P2=P2, w=w,
                   Hpp_inv=Hpp_inv, bp=bp, bc=bc, bg=bg, extra_c=extra_c,
-                  extra_g=extra_g, omega0=omega0)
+                  extra_g=extra_g, omega0=omega0,
+                  w_dp=w_dp, w_de=w_de, w_dg=w_dg)
 
 
 def schur_matvec(p: RCSProblem, b: Blocks, xc, xg):
@@ -539,6 +659,10 @@ def prepare(problem: RCSProblem, state: ParamState, spec, damping):
 
     bc = red[:, :6]
     extra_c = damping * red[:, 6:12] + (1.0 - p.free_eo)
+    if p.de_w is not None:
+        we = p.de_w * p.free_eo
+        bc = bc + we * (p.de_val - state.eo)
+        extra_c = extra_c + we * (1.0 + damping)
     rc = bc - red[:, 12:18]
     Scc = red[:, 18:].reshape(p.num_images, 6, 6)
     Scc = Scc + extra_c[:, :, None] * jnp.eye(6, dtype=Scc.dtype)
@@ -549,6 +673,82 @@ def prepare(problem: RCSProblem, state: ParamState, spec, damping):
     Minv = Precond(Minv_c=Minv_c,
                    Minv_g=global_block_preconditioner(p, b))
     return b, rc, rg, Minv
+
+
+def point_ops(p: RCSProblem, b: Blocks):
+    """Layout-specific closures for parallel/freenet.py (block layout)."""
+    from . import freenet
+
+    def hinv(v):
+        return jnp.einsum("pab,pb->pa", b.Hpp_inv, v)
+
+    def hinv_at(idx):
+        return b.Hpp_inv[idx]
+
+    def hxp(v):
+        u = jnp.einsum("nia,na->ni", b.PJp, _expand_point(p, v))
+        oc = _seg_image(p, jnp.einsum("nia,ni->na", b.Jc, u))
+        og = jnp.einsum("nia,ni->a", b.Jg, u)
+        return oc, og
+
+    def hpx(xc, xg):
+        t = jnp.einsum("nia,na->ni", b.PJc, xc[p.obs_image])
+        t = t + jnp.einsum("nia,a->ni", b.PJg, xg)
+        return _seg_point(p, jnp.einsum("nia,ni->na", b.Jp, t))
+
+    return freenet.PointOps(hinv=hinv, hinv_at=hinv_at, hxp=hxp, hpx=hpx)
+
+
+def omega_at_full(p: RCSProblem, b: Blocks, ext, dxp, dxc, dxg):
+    """Omega(dx) including scale-bar and direct-observation rows."""
+    from . import freenet
+
+    om = omega_at(p, b, dxp, dxc, dxg)
+    if ext is not None:
+        om = om + freenet.omega_extras(p, ext, dxp)
+    if b.w_dp is not None:
+        v = b.w_dp - dxp
+        om = om + jnp.sum(p.dp_w * v * v)
+    if b.w_de is not None:
+        v = b.w_de - dxc
+        om = om + jnp.sum(p.de_w * v * v)
+    if b.w_dg is not None:
+        v = b.w_dg - dxg
+        om = om + jnp.sum(p.dg_w * v * v)
+    return om
+
+
+def lm_step_full(problem: RCSProblem, state: ParamState, spec, damping,
+                 cg_tol=1e-10, cg_maxiter=200, matvec_factory=None):
+    """lm_step extended with scale bars and the inner-constraint datum
+    (exact low-rank corrections, parallel/freenet.py).
+
+    ``matvec_factory(blocks) -> matvec``: optional base S@x override (e.g.
+    the fused Pallas kernel); the low-rank corrections wrap it.
+    Returns (dxp, dxc, dxg, blocks, cg_it, extras-or-None)."""
+    from . import freenet
+
+    b, rc, rg, Minv = prepare(problem, state, spec, damping)
+    ext = None
+    if problem.has_extras:
+        ops = point_ops(problem, b)
+        ext = freenet.prepare_extras(problem, state, b.bp, rc, rg, ops,
+                                     b.omega0)
+        b = b._replace(bp=ext.bp_full, omega0=ext.omega0)
+        rc, rg = ext.rc, ext.rg
+    b, ext, rc, rg, Minv = jax.lax.optimization_barrier(
+        (b, ext, rc, rg, Minv))
+    base = (matvec_factory(b) if matvec_factory is not None
+            else lambda c, g: schur_matvec(problem, b, c, g))
+    mv = freenet.wrap_matvec(base, ext) if ext is not None else base
+    xc, xg, it = pcg(problem, b, rc, rg, Minv, tol=cg_tol,
+                     maxiter=cg_maxiter, matvec=mv)
+    if ext is not None:
+        dxp, _lam = freenet.back_substitute(problem, ext,
+                                            point_ops(problem, b), xc, xg)
+    else:
+        dxp = back_substitute_points(problem, b, xc, xg)
+    return dxp, xc, xg, b, it, ext
 
 
 def lm_step(problem: RCSProblem, state: ParamState, spec, damping,

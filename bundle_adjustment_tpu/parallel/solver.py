@@ -71,16 +71,13 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
 
     @jax.jit
     def step_fn(st, lam):
-        b, rc, rg, Minv = rcs.prepare(problem, st, spec, lam)
-        mv = matvec_factory(b) if matvec_factory is not None else None
-        xc, xg, it = rcs.pcg(problem, b, rc, rg, Minv,
-                             tol=cg_tol, maxiter=cg_maxiter, matvec=mv)
-        dxp = rcs.back_substitute_points(problem, b, xc, xg)
-        return dxp, xc, xg, b, it
+        return rcs.lm_step_full(problem, st, spec, lam, cg_tol=cg_tol,
+                                cg_maxiter=cg_maxiter,
+                                matvec_factory=matvec_factory)
 
     @jax.jit
-    def omega_fn(b, dxp, dxc, dxg):
-        return rcs.omega_at(problem, b, dxp, dxc, dxg)
+    def omega_fn(b, ext, dxp, dxc, dxg):
+        return rcs.omega_at_full(problem, b, ext, dxp, dxc, dxg)
 
     @jax.jit
     def apply_fn(st, dxp, dxc, dxg, alpha):
@@ -93,13 +90,14 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
     for k in range(max_iterations):
         it_done = k + 1
         lam = jnp.asarray(adapted, dtype)
-        dxp, dxc, dxg, b, cg_it = step_fn(state, lam)
+        dxp, dxc, dxg, b, cg_it, ext = step_fn(state, lam)
 
         rejected = False
         alpha = 1.0
         if adapted > 0:
             alpha = min(0.25 * adapted ** -0.05, 0.75)
-            cur = float(omega_fn(b, alpha * dxp, alpha * dxc, alpha * dxg))
+            cur = float(omega_fn(b, ext, alpha * dxp, alpha * dxc,
+                                 alpha * dxg))
             prev = omega_prev if omega_prev > 0 else float(np.finfo(float).max)
             if prev >= cur:
                 adapted *= 0.2

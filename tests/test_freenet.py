@@ -1,0 +1,202 @@
+"""Free-network datum, scale bars and direct observations at scale
+(parallel/freenet.py): exact parity against the dense bordered solver
+(solver/adjustment.py) on downscaled twins, on both the block-layout rcs
+path and the feature-major engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundle_adjustment_tpu.models.layout import assign_columns
+from bundle_adjustment_tpu.models.problem import ParamState, compile_problem
+from bundle_adjustment_tpu.parallel import engine, freenet, rcs, solver
+from bundle_adjustment_tpu.testing import make_synthetic_scene
+
+
+def _dense_dx_blocks(bp, dx):
+    """Map a dense bordered solution vector onto (dxp, dxc, dxg)."""
+    T = bp.total_size
+    dxfull = np.concatenate([np.asarray(dx), [0.0]])
+
+    def block(cols):
+        c = np.where(np.asarray(cols) >= 0, np.asarray(cols), T)
+        return dxfull[c]
+
+    dxg_io = block(bp.col_io)
+    dxg_dist = block(bp.col_dist)
+    dxg = np.concatenate(
+        [np.concatenate([dxg_io[c], dxg_dist[c]])
+         for c in range(bp.num_cameras)])
+    return block(bp.col_points), block(bp.col_eo), dxg
+
+
+@pytest.fixture(scope="module")
+def freenet_twin():
+    """Free-network scene (all points datum) with one scale bar."""
+    cameras, bars, truth = make_synthetic_scene(
+        num_points=40, num_images=6, noise=1e-4, sigma=1e-4, perturb=0.01,
+        seed=11, with_scale_bar=True)
+    layout = assign_columns(cameras, bars, [])
+    cs = compile_problem(cameras, bars, [], layout)
+    bp = cs.problem
+    assert bp.defect == 6 and bp.num_scale_bars == 1
+    state0 = ParamState(*(jnp.asarray(a, jnp.float64) for a in cs.state))
+    problem = rcs.rcs_from_problem(bp, dtype=jnp.float64)
+    assert problem.has_extras
+    return cameras, bars, cs, bp, state0, problem
+
+
+def test_step_matches_dense_bordered(freenet_twin):
+    """One GN step: the low-rank-corrected reduced solve equals the dense
+    bordered (KKT) solve to solver precision, including B dx = 0 and the
+    scale-bar row (BundleAdjustment.java:493-635,
+    PartialDerivativeFactory.java:210-283)."""
+    from bundle_adjustment_tpu.solver.adjustment import (
+        BundleAdjustment, MatrixInversion)
+
+    cameras, bars, cs, bp, state0, problem = freenet_twin
+    adj = BundleAdjustment()
+    adj.cameras, adj.scale_bars = cameras, bars
+    adj.compiled = cs
+    adj.set_invert_normal_equation(MatrixInversion.NONE)
+    kern = adj._build_kernels()
+    dx = np.asarray(kern.solve_intermediate(state0, 0.0))
+    dxp_d, dxc_d, dxg_d = _dense_dx_blocks(bp, dx)
+
+    dxp, dxc, dxg, b, it, ext = rcs.lm_step_full(
+        problem, state0, bp.spec, jnp.asarray(0.0),
+        cg_tol=1e-14, cg_maxiter=3000)
+    np.testing.assert_allclose(np.asarray(dxp), dxp_d, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dxc), dxc_d, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dxg), dxg_d, rtol=1e-8, atol=1e-10)
+
+    # datum conditions hold exactly: B dx = 0
+    B = freenet.datum_rows_dense(state0.points, problem.datum_mask_d,
+                                 problem.defect_flags_d)
+    bdx = np.einsum("kpa,pa->k", np.asarray(B), np.asarray(dxp))
+    assert np.abs(bdx).max() < 1e-12
+
+    # Omega parity including the scale-bar row
+    om = float(rcs.omega_at_full(problem, b, ext, dxp, dxc, dxg))
+    om_d = float(kern.omega(state0, jnp.asarray(dx)))
+    np.testing.assert_allclose(om, om_d, rtol=1e-10)
+
+
+def test_fm_engine_matches_rcs_freenet():
+    """Feature-major lm_step_full == block-layout lm_step_full on a
+    free-network problem with scale bars (uniform point-major layout)."""
+    import bench as B
+
+    problem, state, spec = B.build_problem(256, 16, 8, jnp.float64, seed=5)
+    P = problem.num_points
+    # free network: no fixed coordinates; 7-defect datum incl. scale, fixed
+    # by one scale bar (detectRankDefect semantics: scale bar fixes scale)
+    pts = np.asarray(state.points)
+    d01 = float(np.linalg.norm(pts[1] - pts[0]))
+    problem = problem._replace(
+        free_point=jnp.ones((P, 3), jnp.float64),
+        datum_mask_d=jnp.ones(P, jnp.float64),
+        defect_flags_d=(True, True, True, True, True, True, False),
+        sb_a=jnp.asarray([0], jnp.int32), sb_b=jnp.asarray([1], jnp.int32),
+        sb_length=jnp.asarray([d01 * (1 + 1e-5)]),
+        sb_weight=jnp.asarray([1e4]),
+    )
+    assert problem.has_extras
+
+    damping = jnp.asarray(1e-4)
+    dxp_r, dxc_r, dxg_r, b_r, it_r, ext_r = rcs.lm_step_full(
+        problem, state, spec, damping, cg_tol=1e-12, cg_maxiter=1000)
+    fmp = engine.fm_problem(problem)
+    dxp, dxc, dxg, b, it, ext = engine.lm_step_full(
+        fmp, problem, state, spec, damping, cg_tol=1e-12, cg_maxiter=1000)
+    np.testing.assert_allclose(dxp, dxp_r, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(dxc, dxc_r, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(dxg, dxg_r, rtol=1e-5, atol=1e-9)
+    om = engine.omega_at_full(fmp, problem, b, ext, dxp, dxc, dxg, state)
+    om_r = rcs.omega_at_full(problem, b_r, ext_r, dxp_r, dxc_r, dxg_r)
+    np.testing.assert_allclose(om, om_r, rtol=1e-8)
+
+
+def test_solver_converges_freenet(freenet_twin):
+    """Full LM driver on the free-network twin: converges with the inner-
+    constraint datum and matches the dense solver's converged state."""
+    from bundle_adjustment_tpu.solver.adjustment import (
+        BundleAdjustment, EstimationState, MatrixInversion)
+
+    cameras, bars, cs, bp, state0, problem = freenet_twin
+    res = solver.solve(problem, state0, bp.spec, damping=0.0,
+                       max_iterations=30, cg_tol=1e-13, cg_maxiter=3000)
+    assert res.converged
+
+    # fresh identical scene: column assignment is single-use per object graph
+    cameras2, bars2, _ = make_synthetic_scene(
+        num_points=40, num_images=6, noise=1e-4, sigma=1e-4, perturb=0.01,
+        seed=11, with_scale_bar=True)
+    adj = BundleAdjustment()
+    adj.add(*cameras2)
+    for sb in bars2:
+        adj.add(sb)
+    adj.use_centroided_coordinates = False
+    adj.set_invert_normal_equation(MatrixInversion.NONE)
+    status = adj.estimate_model()
+    assert status == EstimationState.ERROR_FREE_ESTIMATION
+
+    np.testing.assert_allclose(np.asarray(res.state.points),
+                               np.asarray(adj.state.points),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.state.eo),
+                               np.asarray(adj.state.eo),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res.state.io),
+                               np.asarray(adj.state.io),
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_direct_observations_diagonal():
+    """Diagonal-weight direct observations of point coordinates: rcs path ==
+    dense bordered solver per step (PartialDerivativeFactory.java:447-473)."""
+    from bundle_adjustment_tpu import (
+        DirectObservation, DirectlyObservedParameterGroup)
+    from bundle_adjustment_tpu.solver.adjustment import (
+        BundleAdjustment, MatrixInversion)
+
+    cameras, bars, truth = make_synthetic_scene(
+        num_points=30, num_images=6, noise=1e-4, sigma=1e-4, perturb=0.01,
+        seed=13, with_scale_bar=False)
+    # observe 4 datum point coordinate triplets instead of a datum
+    observed = []
+    rng = np.random.default_rng(0)
+    for oc in truth["coords"]:
+        oc.set_datum(False)
+    for oc in truth["coords"][:4]:
+        for par, t in zip(oc.params, ("OBJ_X", "OBJ_Y", "OBJ_Z")):
+            observed.append(DirectObservation(
+                par, par.value + rng.normal(0, 1e-4), 1e-4, t, oc))
+    group = DirectlyObservedParameterGroup(observed)
+
+    layout = assign_columns(cameras, [], [group])
+    cs = compile_problem(cameras, [], [group], layout)
+    bp = cs.problem
+    assert bp.defect == 0
+    state0 = ParamState(*(jnp.asarray(a, jnp.float64) for a in cs.state))
+    problem = rcs.rcs_from_problem(bp, dtype=jnp.float64)
+    assert problem.dp_w is not None and not problem.has_extras
+
+    adj = BundleAdjustment()
+    adj.cameras, adj.scale_bars, adj.direct_groups = cameras, [], [group]
+    adj.compiled = cs
+    adj.set_invert_normal_equation(MatrixInversion.NONE)
+    kern = adj._build_kernels()
+    dx = np.asarray(kern.solve_intermediate(state0, 0.0))
+    dxp_d, dxc_d, dxg_d = _dense_dx_blocks(bp, dx)
+
+    dxp, dxc, dxg, b, it, ext = rcs.lm_step_full(
+        problem, state0, bp.spec, jnp.asarray(0.0),
+        cg_tol=1e-14, cg_maxiter=3000)
+    np.testing.assert_allclose(np.asarray(dxp), dxp_d, rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dxc), dxc_d, rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(dxg), dxg_d, rtol=1e-7, atol=1e-11)
+    om = float(rcs.omega_at_full(problem, b, ext, dxp, dxc, dxg))
+    om_d = float(kern.omega(state0, jnp.asarray(dx)))
+    np.testing.assert_allclose(om, om_d, rtol=1e-10)
