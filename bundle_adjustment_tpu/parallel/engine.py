@@ -217,7 +217,8 @@ def _hinv_apply(H, a0, a1, a2):
 # linearisation
 # ---------------------------------------------------------------------------
 
-def linearize(p: FMProblem, state: ParamState, spec, damping) -> FMBlocks:
+def linearize(p: FMProblem, state: ParamState, spec, damping,
+              state_lo: ParamState | None = None) -> FMBlocks:
     from ..ops import fm
 
     P_, V = p.num_points, p.views
@@ -228,6 +229,12 @@ def linearize(p: FMProblem, state: ParamState, spec, damping) -> FMBlocks:
 
     eo = state.eo
     eog = [eo[:, a][p.obs_image] for a in range(6)]
+
+    # hi/lo compensation of the projection differences (ops/fm.project_rows)
+    lo = None
+    if state_lo is not None:
+        lo = tuple(_point_expand(p, state_lo.points[:, a]) for a in range(3))
+        lo = lo + tuple(state_lo.eo[:, a][p.obs_image] for a in range(3))
 
     C = state.io.shape[0]
     K = state.dist.shape[1]
@@ -245,7 +252,7 @@ def linearize(p: FMProblem, state: ParamState, spec, damping) -> FMBlocks:
 
     rows_x, rows_y, pred_x, pred_y = fm.jacobian_rows(
         X, Y, Z, iog[0], iog[1], iog[2],
-        eog[0], eog[1], eog[2], eog[3], eog[4], eog[5], cg, spec, r0)
+        eog[0], eog[1], eog[2], eog[3], eog[4], eog[5], cg, spec, r0, lo=lo)
     w0 = p.obs_x - pred_x
     w1 = p.obs_y - pred_y
 
@@ -390,7 +397,8 @@ def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg):
 
 
 def prepare(p: FMProblem, state: ParamState, spec, damping,
-            couple_global: bool = False):
+            couple_global: bool = False,
+            state_lo: ParamState | None = None):
     """Linearise + build rhs and the (camera, global) block preconditioner.
 
     All per-image reductions are fused into one [N, 39 + 6G] pass (cf.
@@ -402,7 +410,7 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     observation form Hpc_n^T Hppinv[pt_n] Hpg[pt_n] is exact for any
     visibility multiplicity because it is linear in Hpc_n.
     Returns (blocks, rc, rg, rcs.Precond)."""
-    b = linearize(p, state, spec, damping)
+    b = linearize(p, state, spec, damping, state_lo=state_lo)
     G2 = len(b.Jg) // 2
 
     # z0 = Hpp^{-1} bp expanded; u0 = P Jp z0
@@ -576,7 +584,8 @@ def omega_at_full(p: FMProblem, rp, b: FMBlocks, ext, dxp, dxc, dxg,
 
 def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
                  cg_tol=1e-10, cg_maxiter=200, use_pallas=False,
-                 pallas_pb=None, couple_global=True):
+                 pallas_pb=None, couple_global=True,
+                 state_lo: ParamState | None = None):
     """lm_step extended with scale bars and the inner-constraint datum
     (exact low-rank corrections, parallel/freenet.py).  ``rp`` is the
     underlying rcs.RCSProblem carrying sb_*/datum fields.
@@ -584,7 +593,8 @@ def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
     from . import freenet
 
     b, rc, rg, Minv = prepare(p, state, spec, damping,
-                              couple_global=couple_global)
+                              couple_global=couple_global,
+                              state_lo=state_lo)
     ext = None
     if rp.has_extras:
         ops = point_ops(p, b)
@@ -618,7 +628,8 @@ def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
 
 def lm_step(p: FMProblem, state: ParamState, spec, damping,
             cg_tol=1e-10, cg_maxiter=200, use_pallas=False,
-            pallas_pb=None, couple_global=True):
+            pallas_pb=None, couple_global=True,
+            state_lo: ParamState | None = None):
     """One LM inner solve; returns (dxp, dxc, dxg, blocks, cg_iterations).
 
     ``use_pallas``: run the CG matvec with the fused feature-major TPU
@@ -628,7 +639,8 @@ def lm_step(p: FMProblem, state: ParamState, spec, damping,
     fused per-image reduction (large CG iteration savings at the cost of 6G
     extra feature rows in one pass — see prepare)."""
     b, rc, rg, Minv = prepare(p, state, spec, damping,
-                              couple_global=couple_global)
+                              couple_global=couple_global,
+                              state_lo=state_lo)
     b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
     if use_pallas:
         from . import kernels

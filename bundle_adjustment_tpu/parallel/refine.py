@@ -1,0 +1,131 @@
+"""Mixed-precision refinement: f64 gradient + hi/lo state + f32 solve.
+
+The f32 LM loop floors at max|dx| ~ 1e-3..1e-2 * noise scale because the
+gradient g = J^T P w is a massively cancelling reduction: near the optimum
+the true gradient is orders of magnitude below the per-term magnitudes, so
+f32 rounding noise (amplified through S^{-1}) dominates the step (measured
+floor ~8e-4 at the 100k-point bench, matching eps_f32 * term scale *
+cond(S) — survey hard-part 1, BundleAdjustment.java:77,332 for the
+reference's sqrt(eps_f64) criterion this must approach).
+
+Classic iterative refinement fixes it: evaluate ONLY the gradient in f64
+(one elementwise forward+Jacobian pass per outer iteration — XLA's f64
+emulation on TPU costs ~90x f32 elementwise, which is a small fraction of
+the full LM step), keep the state as an f32 hi+lo pair (parallel/hilo.py),
+and run all S/preconditioner/CG machinery in plain f32.  Each outer
+iteration then contracts the state error by the *relative* accuracy of the
+f32 CG solve (~1e-2 at cg_tol 1e-7), reaching f64-grade max|dx| in a
+handful of iterations.
+
+Note the CG stall detector must be relaxed here: the default f32
+stall_limit=8 exits at ~20% relative residual, which is exactly the
+refinement contraction rate killer (measured: stall 8 -> 100% step error;
+stall 100+ at tol 1e-7 -> ~2% step error).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.problem import ParamState
+from . import engine, hilo, rcs
+
+
+def upcast_problem(problem: rcs.RCSProblem) -> rcs.RCSProblem:
+    """f32 -> f64 copy of the float fields (indices untouched)."""
+    def up(x):
+        if hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x.astype(jnp.float64)
+        return x
+
+    return jax.tree.map(up, problem)
+
+
+class Refiner:
+    """Engine-path (feature-major) mixed-precision refiner.
+
+    Usage:
+        r = Refiner(problem32, spec)
+        s = hilo.from_f32(state32)          # after the plain f32 LM loop
+        s, max_dx, omega0, it = r.step(s)   # repeat until max_dx <= tol
+    """
+
+    def __init__(self, problem32: rcs.RCSProblem, spec,
+                 couple_global: bool = True, use_pallas: bool = False):
+        if problem32.has_extras:
+            raise NotImplementedError(
+                "refinement with scale bars / inner constraints: run the "
+                "f32 lm_step_full loop; mixed-precision extras are future "
+                "work")
+        self.problem32 = problem32
+        self.spec = spec
+        self.couple_global = couple_global
+        self.use_pallas = use_pallas
+        self.fmp32 = engine.fm_problem(problem32)
+        self.fmp64 = engine.fm_problem(upcast_problem(problem32))
+        self._step = jax.jit(self._step_impl, static_argnames=(
+            "cg_tol", "cg_maxiter", "stall_limit"))
+
+    def gradient64(self, state64: ParamState):
+        """(bp [P,3], bc [M,6], bg [G], omega0) in f64 — the only f64 pass."""
+        b = engine.linearize(self.fmp64, state64, self.spec,
+                             jnp.asarray(0.0, jnp.float64))
+        bc = engine._image_sum_stack(
+            self.fmp64,
+            [b.Jc[a] * b.Pw[0] + b.Jc[6 + a] * b.Pw[1] for a in range(6)])
+        return jnp.stack(b.bp, axis=1), bc, b.bg, b.omega0
+
+    def _step_impl(self, s: hilo.HiLoState, damping,
+                   cg_tol=1e-7, cg_maxiter=400, stall_limit=200):
+        p32 = self.fmp32
+        b, _rc, _rg, Minv = engine.prepare(
+            p32, s.hi, self.spec, damping,
+            couple_global=self.couple_global, state_lo=s.lo)
+        bp64, bc64, bg64, omega0 = self.gradient64(hilo.to_f64(s))
+        bp32 = bp64.astype(jnp.float32)
+        bc32 = bc64.astype(jnp.float32)
+        bg32 = bg64.astype(jnp.float32)
+        ops = engine.point_ops(p32, b)
+        z0 = ops.hinv(bp32)
+        dc, dg = ops.hxp(z0)
+        rc = bc32 - dc
+        rg = bg32 - dg
+        b = b._replace(bp=tuple(bp32[:, a] for a in range(3)),
+                       bc=bc32, bg=bg32)
+        b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
+        if self.use_pallas:
+            from . import kernels
+
+            pp = kernels.pack_fm(b, p32)
+            matvec = kernels.make_matvec(pp, b.extra_c, b.extra_g)
+        else:
+            def matvec(c, g):
+                return engine.schur_matvec(p32, b, c, g)
+        xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
+                             maxiter=cg_maxiter, matvec=matvec,
+                             stall_limit=stall_limit)
+        dxp = engine.back_substitute_points(p32, b, xc, xg)
+        new_s, max_dx = hilo.apply_step(s, self.problem32, dxp, xc, xg)
+        return new_s, max_dx, omega0, it
+
+    def step(self, s: hilo.HiLoState, damping=1e-8,
+             cg_tol=1e-7, cg_maxiter=400, stall_limit=200):
+        return self._step(s, jnp.asarray(damping, jnp.float32),
+                          cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                          stall_limit=stall_limit)
+
+    def refine(self, state32: ParamState, tolerance: float = 1e-6,
+               max_iterations: int = 12, **kw):
+        """Drive refinement until max|dx| <= tolerance.  Returns
+        (HiLoState, history list of max|dx|)."""
+        s = hilo.from_f32(state32)
+        history = []
+        for _ in range(max_iterations):
+            s, max_dx, omega0, it = self.step(s, **kw)
+            history.append(float(max_dx))
+            if history[-1] <= tolerance:
+                break
+        return s, history
