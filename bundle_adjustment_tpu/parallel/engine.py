@@ -218,8 +218,15 @@ def _hinv_apply(H, a0, a1, a2):
 # ---------------------------------------------------------------------------
 
 def linearize(p: FMProblem, state: ParamState, spec, damping,
-              state_lo: ParamState | None = None) -> FMBlocks:
+              state_lo: ParamState | None = None,
+              axis: str | None = None) -> FMBlocks:
+    """``axis``: shard_map axis name when the point-major axis is sharded
+    across devices — cross-shard (image/global/scalar) reductions are psum-ed;
+    per-point quantities stay shard-local."""
     from ..ops import fm
+
+    def _ps(x):
+        return jax.lax.psum(x, axis) if axis is not None else x
 
     P_, V = p.num_points, p.views
     pts = state.points
@@ -299,7 +306,7 @@ def linearize(p: FMProblem, state: ParamState, spec, damping,
     PJc = apply_w(Jc)
     PJg = apply_w(Jg)
     Pw = (p.wxx * w0 + p.wxy * w1, p.wxy * w0 + p.wyy * w1)
-    omega0 = jnp.sum(w0 * Pw[0] + w1 * Pw[1])
+    omega0 = jnp.sum(w0 * Pw[0] + w1 * Pw[1])  # shard-local until psum below
 
     # point blocks
     def hpp(a, b):
@@ -323,6 +330,7 @@ def linearize(p: FMProblem, state: ParamState, spec, damping,
         e1 = e1 + p.dp_w[:, 1] * fpc[1] * (1.0 + damping)
         e2 = e2 + p.dp_w[:, 2] * fpc[2] * (1.0 + damping)
         omega0 = omega0 + jnp.sum(p.dp_w * w_dp * w_dp)
+    omega0 = _ps(omega0)  # obs + per-point terms are shard-local
     if p.de_w is not None:
         w_de = p.de_val - state.eo
         omega0 = omega0 + jnp.sum(p.de_w * w_de * w_de)
@@ -330,11 +338,12 @@ def linearize(p: FMProblem, state: ParamState, spec, damping,
     bp = tuple(bp)
 
     G2 = len(Jg) // 2
-    Hgg_diag = jnp.stack([jnp.sum(Jg[g] * PJg[g] + Jg[G2 + g] * PJg[G2 + g])
-                          for g in range(G2)])
+    Hgg_diag = _ps(jnp.stack(
+        [jnp.sum(Jg[g] * PJg[g] + Jg[G2 + g] * PJg[G2 + g])
+         for g in range(G2)]))
     extra_g = damping * Hgg_diag + (1.0 - p.free_global)
-    bg = jnp.stack([jnp.sum(Jg[g] * Pw[0] + Jg[G2 + g] * Pw[1])
-                    for g in range(G2)])
+    bg = _ps(jnp.stack([jnp.sum(Jg[g] * Pw[0] + Jg[G2 + g] * Pw[1])
+                        for g in range(G2)]))
     if p.dg_w is not None:
         gvec = jnp.concatenate([state.io, state.dist], axis=1).reshape(-1)
         w_dg = p.dg_val - gvec
@@ -380,8 +389,9 @@ def _point_solve_expand(p: FMProblem, b: FMBlocks, t):
     return [_point_expand(p, z[a]) for a in range(3)]
 
 
-def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg):
-    """Implicit S @ [xc; xg], feature-major."""
+def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg, axis: str | None = None):
+    """Implicit S @ [xc; xg], feature-major.  ``axis``: psum the cross-shard
+    (image/global) reductions when the point axis is sharded."""
     t = _t_rows(p, b, xc, xg)
     zo = _point_solve_expand(p, b, t)
     tv = []
@@ -393,12 +403,16 @@ def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg):
                     for g in range(G2)])
     qc = [b.Jc[a] * tv[0] + b.Jc[6 + a] * tv[1] for a in range(6)]
     oc = _image_sum_stack(p, qc)
+    if axis is not None:
+        oc = jax.lax.psum(oc, axis)
+        og = jax.lax.psum(og, axis)
     return oc + b.extra_c * xc, og + b.extra_g * xg
 
 
 def prepare(p: FMProblem, state: ParamState, spec, damping,
             couple_global: bool = False,
-            state_lo: ParamState | None = None):
+            state_lo: ParamState | None = None,
+            axis: str | None = None):
     """Linearise + build rhs and the (camera, global) block preconditioner.
 
     All per-image reductions are fused into one [N, 39 + 6G] pass (cf.
@@ -410,7 +424,10 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     observation form Hpc_n^T Hppinv[pt_n] Hpg[pt_n] is exact for any
     visibility multiplicity because it is linear in Hpc_n.
     Returns (blocks, rc, rg, rcs.Precond)."""
-    b = linearize(p, state, spec, damping, state_lo=state_lo)
+    def _ps(x):
+        return jax.lax.psum(x, axis) if axis is not None else x
+
+    b = linearize(p, state, spec, damping, state_lo=state_lo, axis=axis)
     G2 = len(b.Jg) // 2
 
     # z0 = Hpp^{-1} bp expanded; u0 = P Jp z0
@@ -457,7 +474,7 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
                 corr = sum(hp[a][e] * Wobs[g][a] for a in range(3))
                 rows.append(hcg - corr)
 
-    red = _image_sum_stack(p, rows)  # [M, 39 (+ 6G)]
+    red = _ps(_image_sum_stack(p, rows))  # [M, 39 (+ 6G)]
     bc = red[:, :6]
     extra_c = damping * red[:, 6:12] + (1.0 - p.free_eo)
     if p.de_w is not None:
@@ -474,17 +491,18 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     Minv_c = jnp.linalg.inv(Scc)
     b = b._replace(bc=bc, extra_c=extra_c)
 
-    rg = b.bg - jnp.stack([jnp.sum(b.Jg[g] * u0[0] + b.Jg[G2 + g] * u0[1])
-                           for g in range(G2)])
+    rg = b.bg - _ps(jnp.stack(
+        [jnp.sum(b.Jg[g] * u0[0] + b.Jg[G2 + g] * u0[1])
+         for g in range(G2)]))
 
     # global block: Sgg = Hgg - Hgp Hpp^{-1} Hpg via one MXU matmul
     JgM = jnp.stack(b.Jg)          # [2G, N]
     PJgM = jnp.stack(b.PJg)        # [2G, N]
-    T2 = JgM @ PJgM.T              # [2G, 2G]
+    T2 = _ps(JgM @ PJgM.T)         # [2G, 2G]
     Hgg = T2[:G2, :G2] + T2[G2:, G2:] + jnp.diag(b.extra_g)
     HpgM = jnp.stack([hpg[a][g] for a in range(3) for g in range(G2)])
     WM = jnp.stack([W[g][a] for a in range(3) for g in range(G2)])
-    T3 = WM @ HpgM.T  # [(3G), (3G)] with row index a*G+g
+    T3 = _ps(WM @ HpgM.T)  # [(3G), (3G)] with row index a*G+g
     corr_g = sum(T3[a * G2:(a + 1) * G2, a * G2:(a + 1) * G2]
                  for a in range(3))
     Sgg = Hgg - corr_g

@@ -5,9 +5,10 @@ collectives; this module is the explicit formulation for pod-scale control:
 each device holds a contiguous shard of the observation arrays, computes
 partial segment reductions over its local observations, and `psum` over the
 mesh combines the point/camera/global blocks — the collectives ride ICI.
-Parameters are replicated (points [P,3] is 24 MB at P=1e6 in f64 — cheap);
-at larger P the point axis itself shards and the per-point reductions become
-a reduce_scatter (next step, same structure).
+Parameters are replicated (points [P,3] is 24 MB at P=1e6 in f64 — cheap).
+For point-axis sharding on the feature-major engine (shard-local point
+reductions, psum-combined image partials) see parallel/spmd_fm.py — the
+flagship multi-chip path.
 
 Design per the survey's parallelism checklist (section 2.J): DP over
 observation batches == per-device partial J^T W J with psum reduction; the
@@ -210,9 +211,15 @@ def make_spmd_lm_step(problem: rcs.RCSProblem, spec, mesh: Mesh,
         check_vma=False,
     )
 
+    # the sharded observation arrays are explicit jit arguments: in a
+    # multi-controller (multi-host) run, closing over arrays spanning
+    # non-addressable devices is not allowed
     @jax.jit
+    def _step(obs_point, obs_image, obs_xy, obs_weight, state: ParamState):
+        return mapped(obs_point, obs_image, obs_xy, obs_weight, state)
+
     def step(state: ParamState):
-        return mapped(problem.obs_point, problem.obs_image, problem.obs_xy,
-                      problem.obs_weight, state)
+        return _step(problem.obs_point, problem.obs_image, problem.obs_xy,
+                     problem.obs_weight, state)
 
     return step
