@@ -1,8 +1,18 @@
-"""Benchmark: LM iterations/s on the 100k-point / 500-image synthetic
-network (BASELINE.json config 4), single chip.
+"""Benchmark: the full BASELINE perf story on the feature-major engine.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "lm_iter/s", "vs_baseline": N}
+Default run (no args) measures BASELINE config 4 (100k pts / 500 img) and
+config 5 scale (1M pts / 5k img) on one chip:
+
+  (a) time-to-converged from the standard perturbation: f32 LM phase +
+      mixed-precision refinement to max|dx| <= 1e-6 absolute (~2e-10
+      relative — beyond the reference's sqrt(eps_f64) criterion);
+  (b) steady-state LM it/s at FIXED CG work (8 CG iterations) — a stable
+      rate, unlike it/s with state-dependent CG counts;
+  (c) Schur-matvec GFLOP/s and achieved HBM bandwidth vs the v5e
+      speed-of-light (the op is bandwidth-bound: ~(36+4G) f32 rows/obs);
+  (d) covariance-blocks-on-demand rate at scale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Baseline model (vs_baseline): the reference solver as written is dense —
 even its most aggressive mode (PRE_ELIMINATION) eliminates the *cameras* and
@@ -134,95 +144,285 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
     return problem, state, spec
 
 
-def main():
+# ---------------------------------------------------------------------------
+# measurement helpers
+# ---------------------------------------------------------------------------
+
+#: v5e single-chip HBM bandwidth (speed-of-light for the bandwidth-bound
+#: Schur matvec) and bf16 MXU peak, from public TPU v5e specs.
+V5E_HBM_GBPS = 819.0
+V5E_BF16_TFLOPS = 197.0
+
+
+def matvec_cost(N, G, V):
+    """(flops, bytes) of one implicit Schur matvec in the feature-major
+    layout: the packed [36+4G, N] rows are read once (bandwidth-bound)."""
+    flops_per_obs = (
+        2 * (2 * 6 + 2 * G)      # t rows: PJc xc + PJg xg
+        + 3 * 3 + 3              # jt rows + point reduce
+        + 15 / V                 # sym3 Hpp^{-1} apply per point
+        + 2 * 6 + 2              # u rows, tv
+        + 6 * 3 + 6              # qc rows + image reduce
+        + G * 3 + 2 * G          # qg rows + global reduce
+    )
+    fbytes = (36 + 4 * G) * 4 * N    # packed rows (dominant)
+    return flops_per_obs * N, fbytes
+
+
+def _time(fn, reps, *args):
+    import time as _t
+
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = _t.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (_t.time() - t0) / reps, out
+
+
+def run_suite(num_points, num_images, views, full=True):
+    """All measurements on one configuration; returns a dict."""
+    import time
+
     import jax
     import jax.numpy as jnp
 
     from bundle_adjustment_tpu.models.problem import ParamState
-    from bundle_adjustment_tpu.parallel import rcs
+    from bundle_adjustment_tpu.parallel import (
+        bigargs, engine, hilo, kernels, rcs, refine)
+
+    dtype = jnp.float32
+    out = {}
+    print(f"building problem: P={num_points} M={num_images} "
+          f"N_obs={num_points * views}", file=sys.stderr)
+    problem, state0, spec = build_problem(num_points, num_images, views, dtype)
+    problem, state0, _ = engine.pad_problem(problem, state0)
+    fmp = engine.fm_problem(problem)
+    G = 3 + spec.num_coefficients
+    N = int(problem.obs_point.shape[0])
+
+    # NOTE on jit closures vs arguments: full-step programs capture the
+    # problem arrays as closure constants — XLA's buffer assignment handles
+    # constants well, while the same program with argument arrays plans
+    # ~4x HBM and OOMs at this scale (measured).  Only the small
+    # matvec-timing programs pass big arrays as arguments, because the
+    # remote-compile relay size-limits serialized constants
+    # (parallel/bigargs.py).
+    fn_, fb_ = bigargs.split_big(fmp)
+
+    lm = jax.jit(lambda st, lam: engine.lm_step(
+        fmp, st, spec, lam, cg_tol=1e-4, cg_maxiter=100, couple_global=True))
+
+    t0 = time.time()
+    r = lm(state0, jnp.asarray(1e-2, dtype))
+    jax.block_until_ready(r)
+    out["first_compile_s"] = round(time.time() - t0, 2)
+    print(f"first LM step (incl. compile): {out['first_compile_s']}s",
+          file=sys.stderr)
+
+    # ---- (a) time-to-converged from the standard perturbation ----------
+    # f32 LM phase (damping 0.2x schedule) to its floor, then mixed-
+    # precision refinement to max|dx| <= 1e-6 (absolute; ~2e-10 relative
+    # to the km-scale coordinates — beyond the reference's sqrt(eps_f64)).
+    refiner = refine.Refiner(problem, spec)
+    s_ref = hilo.from_f32(state0)
+    rstep = lambda s: refiner.step(s, damping=1e-8, cg_tol=1e-7,
+                                   cg_maxiter=300, stall_limit=150)
+    t0 = time.time()
+    r2 = rstep(s_ref)
+    jax.block_until_ready(r2)
+    out["refine_compile_s"] = round(time.time() - t0, 2)
+
+    state = state0
+    damp = 1e-2
+    t0 = time.time()
+    n_f32 = 0
+    for k in range(60):
+        dxp, dxc, dxg, b, it = lm(state, jnp.asarray(damp, dtype))
+        alpha = min(0.25 * damp ** -0.05, 0.75) if damp > 0 else 1.0
+        state, mdx = rcs.apply_step(state, problem,
+                                    alpha * dxp, alpha * dxc, alpha * dxg)
+        damp = 0.0 if damp < 1e-9 else damp * 0.2
+        n_f32 += 1
+        mdx = float(mdx)
+        if damp == 0.0 and mdx < 1e-3:
+            break
+    jax.block_until_ready(state)
+    t_f32 = time.time() - t0
+    print(f"f32 phase: {n_f32} its in {t_f32:.2f}s, max|dx|={mdx:.2e}",
+          file=sys.stderr)
+
+    s = hilo.from_f32(state)
+    t0 = time.time()
+    n_ref = 0
+    floor = mdx
+    for k in range(15):
+        s, mdx_r, om, it = rstep(s)
+        n_ref += 1
+        floor = float(mdx_r)
+        if floor <= 1e-6:
+            break
+    jax.block_until_ready(s)
+    t_ref = time.time() - t0
+    print(f"refinement: {n_ref} its in {t_ref:.2f}s, max|dx|={floor:.2e}",
+          file=sys.stderr)
+    out["time_to_converged_s"] = round(t_f32 + t_ref, 3)
+    out["converged_max_dx"] = floor
+    out["lm_iterations_to_converge"] = n_f32 + n_ref
+
+    # ---- (b) steady-state LM it/s at fixed CG work (K = 8) -------------
+    K = 8
+
+    def fixed_step(st, lam, use_pallas):
+        p_ = fmp
+        b, rc, rg, Minv = engine.prepare(p_, st, spec, lam,
+                                         couple_global=True)
+        b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
+        if use_pallas:
+            pp = kernels.pack_fm(b, p_)
+            arrs = jax.lax.optimization_barrier(
+                (pp.packed, pp.obs_img, pp.hppinv))
+            pp = pp._replace(packed=arrs[0], obs_img=arrs[1], hppinv=arrs[2])
+            mv = kernels.make_matvec(pp, b.extra_c, b.extra_g)
+        else:
+            mv = lambda c, g: engine.schur_matvec(p_, b, c, g)
+        xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=0.0, maxiter=K,
+                             matvec=mv, stall_limit=K + 1)
+        dxp = engine.back_substitute_points(p_, b, xc, xg)
+        return rcs.apply_step(st, problem, dxp, xc, xg)
+
+    fixed_ = jax.jit(fixed_step, static_argnames=("use_pallas",))
+    fixed = lambda st, lam: fixed_(st, lam, False)
+    lam = jnp.asarray(1e-6, dtype)
+    st = state
+    r = fixed(st, lam)
+    jax.block_until_ready(r)
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        st, _m = fixed(st, lam)
+    jax.block_until_ready(st)
+    dt = (time.time() - t0) / reps
+    out["lm_it_per_s_fixed_cg8"] = round(1.0 / dt, 3)
+    print(f"steady-state (cg=8 fixed): {1.0/dt:.3f} it/s", file=sys.stderr)
+
+    # ---- (c) Schur matvec GFLOP/s + HBM roofline ------------------------
+    prep_ = jax.jit(lambda st: engine.prepare(
+        fmp, st, spec, jnp.asarray(1e-6, dtype), couple_global=True))
+    b, rc, rg, Minv = prep_(state)
+    jax.block_until_ready(b)
+    flops, fbytes = matvec_cost(N, G, views)
+
+    bn_, bb_ = bigargs.split_big(b)
+    mv_xla_ = jax.jit(lambda bbig, fbig, c, g: engine.schur_matvec(
+        bigargs.merge(fmp, fn_, fbig), bigargs.merge(b, bn_, bbig), c, g))
+    dt_x, _ = _time(mv_xla_, 30, bb_, fb_, rc, rg)
+    out["matvec_xla_gflops"] = round(flops / dt_x / 1e9, 1)
+    out["matvec_xla_gbps"] = round(fbytes / dt_x / 1e9, 1)
+
+    dt_p = dt_x
+    if jax.devices()[0].platform != "cpu":  # Pallas needs real hardware
+        pp = kernels.pack_fm(b, fmp)
+        pp = jax.tree.map(lambda x: jax.block_until_ready(x)
+                          if hasattr(x, "block_until_ready") else x, pp)
+
+        def mv_pal_f(packed, obs_img, hppinv, ec, eg, c, g):
+            pp_ = pp._replace(packed=packed, obs_img=obs_img, hppinv=hppinv)
+            return kernels.make_matvec(pp_, ec, eg)(c, g)
+
+        mv_pal_ = jax.jit(mv_pal_f)
+        dt_p, _ = _time(mv_pal_, 30, pp.packed, pp.obs_img, pp.hppinv,
+                        b.extra_c, b.extra_g, rc, rg)
+        out["matvec_pallas_gflops"] = round(flops / dt_p / 1e9, 1)
+        out["matvec_pallas_gbps"] = round(fbytes / dt_p / 1e9, 1)
+        # steady-state it/s with the Pallas matvec
+        stp = fixed_(state, jnp.asarray(1e-6, dtype), True)
+        jax.block_until_ready(stp)
+        t0 = time.time()
+        st2 = state
+        for _ in range(10):
+            st2, _m = fixed_(st2, jnp.asarray(1e-6, dtype), True)
+        jax.block_until_ready(st2)
+        out["lm_it_per_s_fixed_cg8_pallas"] = round(10 / (time.time() - t0), 3)
+        print(f"steady-state (cg=8, pallas): "
+              f"{out['lm_it_per_s_fixed_cg8_pallas']} it/s", file=sys.stderr)
+    out["matvec_hbm_sol_fraction"] = round(
+        fbytes / min(dt_x, dt_p) / 1e9 / V5E_HBM_GBPS, 3)
+    print(f"matvec: xla {out['matvec_xla_gbps']} GB/s, "
+          f"pallas {out.get('matvec_pallas_gbps', '-')} GB/s "
+          f"({out['matvec_hbm_sol_fraction']:.0%} of HBM SoL)",
+          file=sys.stderr)
+
+    if not full:
+        return out
+
+    # ---- (d) covariance blocks on demand (VERDICT r1 item 7) ------------
+    from bundle_adjustment_tpu.parallel import covariance
+
+    lin_ = jax.jit(lambda st: rcs.linearize(
+        problem, st, spec, jnp.asarray(0.0, dtype)))
+    blocks = lin_(state)
+    jax.block_until_ready(blocks)
+    ids = np.arange(0, num_points, max(1, num_points // 8))[:8]
+    covf_ = jax.jit(lambda bl: covariance.point_covariance_blocks(
+        problem, bl, jnp.asarray(ids), tol=1e-4, maxiter=100))
+    dt_c, Q = _time(covf_, 3, blocks)
+    out["cov_point_blocks_per_s"] = round(len(ids) / dt_c, 2)
+    print(f"covariance: {len(ids)} point blocks in {dt_c:.3f}s "
+          f"({out['cov_point_blocks_per_s']:.1f} blocks/s)", file=sys.stderr)
+    return out
+
+
+def main():
+    import os
+
+    import jax
+
+    if os.environ.get("BENCH_CPU"):  # debug runs off the TPU grant
+        jax.config.update("jax_platforms", "cpu")
+    # the refinement's gradient pass runs in f64 (explicit dtypes keep the
+    # fast path f32)
+    jax.config.update("jax_enable_x64", True)
 
     num_points = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
     num_images = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     views = int(sys.argv[3]) if len(sys.argv) > 3 else 12
-    # path selection: default = feature-major engine with the Pallas matvec;
-    # "xla" = engine with the XLA matvec; "legacy"/"legacy-pallas" = the
-    # block-layout rcs path (kept for comparison)
-    mode = sys.argv[4] if len(sys.argv) > 4 else "engine"
-    use_pallas = mode == "pallas"
-    dtype = jnp.float32
+    with_config5 = len(sys.argv) <= 1  # default run covers config 4 AND 5
 
-    print(f"building problem: P={num_points} M={num_images} "
-          f"N_obs={num_points * views}", file=sys.stderr)
-    problem, state, spec = build_problem(num_points, num_images, views, dtype)
+    out = run_suite(num_points, num_images, views, full=True)
 
-    damping = jnp.asarray(1e-4, dtype)
-
-    if mode == "legacy-pallas":
-        from bundle_adjustment_tpu.parallel import pallas_matvec
-
-        @jax.jit
-        def lm_iteration(st: ParamState):
-            b, rc, rg, Minv = rcs.prepare(problem, st, spec, damping)
-            pp = pallas_matvec.pack_blocks(b, problem, views=views)
-            mv = pallas_matvec.make_pallas_matvec(pp)
-            xc, xg, it = rcs.pcg(
-                problem, b, rc, rg, Minv, tol=1e-5, maxiter=50,
-                matvec=lambda c, g: mv(c, g, b.extra_c, b.extra_g))
-            dxp = rcs.back_substitute_points(problem, b, xc, xg)
-            new_state, max_dx = rcs.apply_step(st, problem, dxp, xc, xg)
-            return new_state, max_dx, b.omega0, it
-    elif mode == "legacy":
-        @jax.jit
-        def lm_iteration(st: ParamState):
-            dxp, dxc, dxg, blocks, it = rcs.lm_step(
-                problem, st, spec, damping, cg_tol=1e-5, cg_maxiter=50)
-            new_state, max_dx = rcs.apply_step(st, problem, dxp, dxc, dxg)
-            return new_state, max_dx, blocks.omega0, it
-    else:  # feature-major engine (default); "xla" disables the kernel
-        from bundle_adjustment_tpu.parallel import engine
-
-        problem, state, _ = engine.pad_problem(problem, state)
-        fmp = engine.fm_problem(problem)
-
-        @jax.jit
-        def lm_iteration(st: ParamState):
-            dxp, dxc, dxg, blocks, it = engine.lm_step(
-                fmp, st, spec, damping, cg_tol=1e-4, cg_maxiter=100,
-                use_pallas=(mode != "xla"))
-            new_state, max_dx = rcs.apply_step(st, problem, dxp, dxc, dxg)
-            return new_state, max_dx, blocks.omega0, it
-
-    t0 = time.time()
-    state1, max_dx, om, it = lm_iteration(state)
-    jax.block_until_ready(state1)
-    compile_and_first = time.time() - t0
-    print(f"first iteration (incl. compile): {compile_and_first:.2f}s "
-          f"max|dx|={float(max_dx):.2e} omega0={float(om):.3e} cg={int(it)}",
-          file=sys.stderr)
-
-    iters = 5
-    t0 = time.time()
-    st = state1
-    for _ in range(iters):
-        st, max_dx, om, it = lm_iteration(st)
-    jax.block_until_ready(st)
-    dt = time.time() - t0
-    rate = iters / dt
-    print(f"{iters} LM iterations in {dt:.2f}s -> {rate:.3f} it/s "
-          f"(last: max|dx|={float(max_dx):.2e} omega0={float(om):.4e} "
-          f"cg={int(it)})", file=sys.stderr)
+    if with_config5:
+        # BASELINE config 5 scale: 1M points / 5k images on one chip
+        try:
+            c5 = run_suite(1_000_000, 5_000, views, full=False)
+            out["config5_1m_points"] = {
+                "lm_it_per_s_fixed_cg8": c5["lm_it_per_s_fixed_cg8"],
+                "time_to_converged_s": c5["time_to_converged_s"],
+                "converged_max_dx": c5["converged_max_dx"],
+                "matvec_pallas_gbps": c5["matvec_pallas_gbps"],
+                "matvec_hbm_sol_fraction": c5["matvec_hbm_sol_fraction"],
+                "first_compile_s": c5["first_compile_s"],
+            }
+        except Exception as exc:  # record instead of failing the bench
+            out["config5_1m_points"] = {"error": str(exc)[:300]}
 
     # baseline: dense Java reference extrapolated to this scale (see module
     # docstring): (3P)^3/6 flops per iteration at a generous 5e10 flop/s.
     u_pts = 3 * num_points
     java_iter_s = 1.0 / ((u_pts**3 / 6) / 5e10)
 
-    print(json.dumps({
-        "metric": f"lm_iterations_per_s_{num_points}pts_{num_images}img",
-        "value": round(rate, 4),
+    result = {
+        "metric": f"lm_iterations_per_s_{num_points}pts_{num_images}img"
+                  f"_fixed_cg8",
+        "value": out["lm_it_per_s_fixed_cg8"],
         "unit": "lm_iter/s",
-        "vs_baseline": round(rate / java_iter_s, 1),
-    }))
+        "vs_baseline": round(out["lm_it_per_s_fixed_cg8"] / java_iter_s, 1),
+    }
+    result.update({k: v for k, v in out.items()})
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -60,7 +60,7 @@ def to_f64(s: HiLoState) -> ParamState:
                         for h, l in zip(s.hi, s.lo)))
 
 
-def apply_step(s: HiLoState, problem, dxp, dxc, dxg, alpha=1.0) -> tuple:
+def apply_step(s: HiLoState, dxp, dxc, dxg, alpha=1.0) -> tuple:
     """x <- x + alpha dx with error-free (two-sum) accumulation per block.
 
     Returns (HiLoState, max|dx|) — the rcs.apply_step analogue."""

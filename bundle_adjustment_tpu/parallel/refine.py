@@ -55,6 +55,10 @@ class Refiner:
 
     def __init__(self, problem32: rcs.RCSProblem, spec,
                  couple_global: bool = True, use_pallas: bool = False):
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "mixed-precision refinement needs jax_enable_x64=True for "
+                "its f64 gradient pass (f64 would silently truncate)")
         if problem32.has_extras:
             raise NotImplementedError(
                 "refinement with scale bars / inner constraints: run the "
@@ -69,22 +73,23 @@ class Refiner:
         self._step = jax.jit(self._step_impl, static_argnames=(
             "cg_tol", "cg_maxiter", "stall_limit"))
 
-    def gradient64(self, state64: ParamState):
+    def gradient64(self, fmp64, state64: ParamState):
         """(bp [P,3], bc [M,6], bg [G], omega0) in f64 — the only f64 pass."""
-        b = engine.linearize(self.fmp64, state64, self.spec,
+        b = engine.linearize(fmp64, state64, self.spec,
                              jnp.asarray(0.0, jnp.float64))
         bc = engine._image_sum_stack(
-            self.fmp64,
+            fmp64,
             [b.Jc[a] * b.Pw[0] + b.Jc[6 + a] * b.Pw[1] for a in range(6)])
         return jnp.stack(b.bp, axis=1), bc, b.bg, b.omega0
 
     def _step_impl(self, s: hilo.HiLoState, damping,
                    cg_tol=1e-7, cg_maxiter=400, stall_limit=200):
         p32 = self.fmp32
+        fmp64 = self.fmp64
         b, _rc, _rg, Minv = engine.prepare(
             p32, s.hi, self.spec, damping,
             couple_global=self.couple_global, state_lo=s.lo)
-        bp64, bc64, bg64, omega0 = self.gradient64(hilo.to_f64(s))
+        bp64, bc64, bg64, omega0 = self.gradient64(fmp64, hilo.to_f64(s))
         bp32 = bp64.astype(jnp.float32)
         bc32 = bc64.astype(jnp.float32)
         bg32 = bg64.astype(jnp.float32)
@@ -108,7 +113,7 @@ class Refiner:
                              maxiter=cg_maxiter, matvec=matvec,
                              stall_limit=stall_limit)
         dxp = engine.back_substitute_points(p32, b, xc, xg)
-        new_s, max_dx = hilo.apply_step(s, self.problem32, dxp, xc, xg)
+        new_s, max_dx = hilo.apply_step(s, dxp, xc, xg)
         return new_s, max_dx, omega0, it
 
     def step(self, s: hilo.HiLoState, damping=1e-8,
