@@ -227,10 +227,11 @@ def run_suite(num_points, num_images, views, full=True):
     # f32 LM phase (damping 0.2x schedule) to its floor, then mixed-
     # precision refinement to max|dx| <= 1e-6 (absolute; ~2e-10 relative
     # to the km-scale coordinates — beyond the reference's sqrt(eps_f64)).
-    refiner = refine.Refiner(problem, spec)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    refiner = refine.Refiner(problem, spec, use_pallas=on_tpu)
     s_ref = hilo.from_f32(state0)
-    rstep = lambda s: refiner.step(s, damping=1e-8, cg_tol=1e-7,
-                                   cg_maxiter=300, stall_limit=150)
+    rstep = lambda s: refiner.step(s, damping=1e-7, cg_tol=1e-8,
+                                   cg_maxiter=800, stall_limit=400)
     t0 = time.time()
     r2 = rstep(s_ref)
     jax.block_until_ready(r2)
@@ -414,12 +415,14 @@ def main():
     u_pts = 3 * num_points
     java_iter_s = 1.0 / ((u_pts**3 / 6) / 5e10)
 
+    headline = out.get("lm_it_per_s_fixed_cg8_pallas",
+                       out["lm_it_per_s_fixed_cg8"])
     result = {
         "metric": f"lm_iterations_per_s_{num_points}pts_{num_images}img"
                   f"_fixed_cg8",
-        "value": out["lm_it_per_s_fixed_cg8"],
+        "value": headline,
         "unit": "lm_iter/s",
-        "vs_baseline": round(out["lm_it_per_s_fixed_cg8"] / java_iter_s, 1),
+        "vs_baseline": round(headline / java_iter_s, 1),
     }
     result.update({k: v for k, v in out.items()})
     print(json.dumps(result))

@@ -117,10 +117,15 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
                       preferred_element_type=f32)
 
     # selection matrices for the uniform point-major reduce/broadcast
-    sel_r = jax.lax.broadcasted_iota(jnp.int32, (nb, pb), 0) // views
+    # (explicit lax.div with an int32 constant: jnp's `//` promotion can
+    # recurse under jax_enable_x64 while tracing the kernel)
+    v32 = jnp.int32(views)
+    sel_r = jax.lax.div(
+        jax.lax.broadcasted_iota(jnp.int32, (nb, pb), 0), v32)
     sel_q = jax.lax.broadcasted_iota(jnp.int32, (nb, pb), 1)
     Sel = (sel_r == sel_q).astype(f32)              # [NB, PB]
-    selT_r = jax.lax.broadcasted_iota(jnp.int32, (pb, nb), 1) // views
+    selT_r = jax.lax.div(
+        jax.lax.broadcasted_iota(jnp.int32, (pb, nb), 1), v32)
     selT_q = jax.lax.broadcasted_iota(jnp.int32, (pb, nb), 0)
     SelT = (selT_r == selT_q).astype(f32)           # [PB, NB]
 
@@ -208,7 +213,11 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
         M = xc.shape[0]
         xcT = jnp.zeros((8, m_pad), jnp.float32).at[:6, :M].set(xc.T)
         xg_pad = jnp.zeros((8, g_lane), jnp.float32).at[0, :G].set(xg)
-        out_c, out_g = call(xcT, xg_pad, pp.packed, pp.obs_img, pp.hppinv)
+        # Mosaic cannot legalize the i64 grid index maps that
+        # jax_enable_x64 produces; the kernel is pure f32/int32 anyway
+        with jax.enable_x64(False):
+            out_c, out_g = call(xcT, xg_pad, pp.packed, pp.obs_img,
+                                pp.hppinv)
         oc = out_c[:M, :6] + extra_c * xc
         og = out_g[:G, 0] + extra_g * xg
         return oc, og

@@ -578,14 +578,14 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
         stall_limit = 8 if rc.dtype == jnp.float32 else maxiter + 1
 
     def cond(carry):
-        xc, xg, rc, rg, pc, pg, rz, best, stall, it = carry
+        xc, xg, bxc, bxg, rc, rg, pc, pg, rz, best, stall, it = carry
         rnorm = jnp.sqrt(dot(rc, rg, rc, rg))
         return jnp.logical_and(
             jnp.logical_and(it < maxiter, stall < stall_limit),
             rnorm > tol * (1.0 + r0norm))
 
     def body(carry):
-        xc, xg, rc, rg, pc, pg, rz, best, stall, it = carry
+        xc, xg, bxc, bxg, rc, rg, pc, pg, rz, best, stall, it = carry
         qc, qg = matvec(pc, pg)
         alpha = rz / dot(pc, pg, qc, qg)
         xc = xc + alpha * pc
@@ -598,16 +598,23 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
         pc = zc + beta * pc
         pg = zg + beta * pg
         rnorm = jnp.sqrt(dot(rc, rg, rc, rg))
+        # track the best-residual iterate: long f32 runs can wander (or
+        # blow up to NaN) past the rounding floor; returning the best
+        # solution keeps the outer (LM / refinement) contraction intact
+        is_best = rnorm < best
+        bxc = jnp.where(is_best, xc, bxc)
+        bxg = jnp.where(is_best, xg, bxg)
         improved = rnorm < 0.9 * best
-        best = jnp.minimum(best, rnorm)
+        best = jnp.where(is_best, rnorm, best)
         stall = jnp.where(improved, 0, stall + 1)
-        return xc, xg, rc, rg, pc, pg, rz_new, best, stall, it + 1
+        return xc, xg, bxc, bxg, rc, rg, pc, pg, rz_new, best, stall, it + 1
 
-    xc, xg, rc, rg, pc, pg, rz, best, stall, it = jax.lax.while_loop(
-        cond, body,
-        (xc, xg, rc, rg, pc, pg, rz, best0, stall0,
-         jnp.zeros((), jnp.int32)))
-    return xc, xg, it
+    xc, xg, bxc, bxg, rc, rg, pc, pg, rz, best, stall, it = \
+        jax.lax.while_loop(
+            cond, body,
+            (xc, xg, xc, xg, rc, rg, pc, pg, rz, best0, stall0,
+             jnp.zeros((), jnp.int32)))
+    return bxc, bxg, it
 
 
 def back_substitute_points(p: RCSProblem, b: Blocks, xc, xg):
