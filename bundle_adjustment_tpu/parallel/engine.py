@@ -389,10 +389,24 @@ def _point_solve_expand(p: FMProblem, b: FMBlocks, t):
     return [_point_expand(p, z[a]) for a in range(3)]
 
 
-def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg, axis: str | None = None):
+def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg, axis: str | None = None,
+                 cam_scatter: bool = False):
     """Implicit S @ [xc; xg], feature-major.  ``axis``: psum the cross-shard
-    (image/global) reductions when the point axis is sharded."""
-    t = _t_rows(p, b, xc, xg)
+    (image/global) reductions when the point axis is sharded.
+
+    ``cam_scatter`` (requires ``axis``): tensor-parallel mode — the reduced
+    camera system is *sharded* over the same mesh axis (survey section 2.J's
+    TP row).  ``xc`` holds only this shard's M/D image rows (all devices'
+    rows concatenated in axis-index order form the full [M, 6]); the full
+    vector is re-formed with one tiled all_gather (tiny: 6M floats), and the
+    per-image output is combined with one reduce_scatter so each device
+    keeps exactly its own rows — all_gather + reduce_scatter ride ICI in
+    place of the replicated psum."""
+    if cam_scatter:
+        xc_full = jax.lax.all_gather(xc, axis, axis=0, tiled=True)
+    else:
+        xc_full = xc
+    t = _t_rows(p, b, xc_full, xg)
     zo = _point_solve_expand(p, b, t)
     tv = []
     for i in (0, 1):
@@ -403,7 +417,10 @@ def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg, axis: str | None = None):
                     for g in range(G2)])
     qc = [b.Jc[a] * tv[0] + b.Jc[6 + a] * tv[1] for a in range(6)]
     oc = _image_sum_stack(p, qc)
-    if axis is not None:
+    if cam_scatter:
+        oc = jax.lax.psum_scatter(oc, axis, scatter_dimension=0, tiled=True)
+        og = jax.lax.psum(og, axis)
+    elif axis is not None:
         oc = jax.lax.psum(oc, axis)
         og = jax.lax.psum(og, axis)
     return oc + b.extra_c * xc, og + b.extra_g * xg
@@ -412,7 +429,8 @@ def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg, axis: str | None = None):
 def prepare(p: FMProblem, state: ParamState, spec, damping,
             couple_global: bool = False,
             state_lo: ParamState | None = None,
-            axis: str | None = None):
+            axis: str | None = None,
+            cam_scatter: bool = False):
     """Linearise + build rhs and the (camera, global) block preconditioner.
 
     All per-image reductions are fused into one [N, 39 + 6G] pass (cf.
@@ -474,17 +492,38 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
                 corr = sum(hp[a][e] * Wobs[g][a] for a in range(3))
                 rows.append(hcg - corr)
 
-    red = _ps(_image_sum_stack(p, rows))  # [M, 39 (+ 6G)]
+    stack = _image_sum_stack(p, rows)  # [M, 39 (+ 6G)]
+    if cam_scatter:
+        # TP mode (survey section 2.J): shard the reduced camera system's
+        # rows over the mesh axis — one reduce_scatter lands each device
+        # exactly its own M/D image rows instead of a replicated psum, and
+        # the per-image preconditioner factorization panels ([M/D, 6, 6]
+        # inverses) are built shard-locally.
+        red = jax.lax.psum_scatter(stack, axis, scatter_dimension=0,
+                                   tiled=True)
+        m_rows = red.shape[0]
+        off = jax.lax.axis_index(axis) * m_rows
+
+        def _sl(a):
+            return None if a is None else jax.lax.dynamic_slice_in_dim(
+                a, off, m_rows)
+
+        free_eo, de_w, de_val = _sl(p.free_eo), _sl(p.de_w), _sl(p.de_val)
+        eo_own = _sl(state.eo)
+    else:
+        red = _ps(stack)
+        m_rows = p.num_images
+        free_eo, de_w, de_val, eo_own = p.free_eo, p.de_w, p.de_val, state.eo
     bc = red[:, :6]
-    extra_c = damping * red[:, 6:12] + (1.0 - p.free_eo)
-    if p.de_w is not None:
-        we = p.de_w * p.free_eo
-        bc = bc + we * (p.de_val - state.eo)
+    extra_c = damping * red[:, 6:12] + (1.0 - free_eo)
+    if de_w is not None:
+        we = de_w * free_eo
+        bc = bc + we * (de_val - eo_own)
         extra_c = extra_c + we * (1.0 + damping)
     rc = bc - red[:, 12:18]
     tri = red[:, 18:39]
     iu = np.triu_indices(6)
-    Scc = jnp.zeros((p.num_images, 6, 6), red.dtype)
+    Scc = jnp.zeros((m_rows, 6, 6), red.dtype)
     Scc = Scc.at[:, iu[0], iu[1]].set(tri)
     Scc = Scc.at[:, iu[1], iu[0]].set(tri)
     Scc = Scc + extra_c[:, :, None] * jnp.eye(6, dtype=red.dtype)
@@ -511,9 +550,10 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     if not couple_global:
         return b, rc, rg, rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g)
 
-    Scg = red[:, 39:].reshape(p.num_images, 6, G2)
+    Scg = red[:, 39:].reshape(m_rows, 6, G2)
     Minv = rcs.finish_coupling(
-        rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g), Scg, Sgg)
+        rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g), Scg, Sgg,
+        axis_cam=axis if cam_scatter else None)
     return b, rc, rg, Minv
 
 

@@ -494,14 +494,22 @@ class Precond(NamedTuple):
     Sghat_inv: jnp.ndarray | None = None  # [G, G]
 
 
-def finish_coupling(Minv: Precond, Scg, Sgg) -> Precond:
+def finish_coupling(Minv: Precond, Scg, Sgg, axis_cam: str | None = None) \
+        -> Precond:
     """Complete a coupled `Precond` from the exact off-diagonal Scg [M, 6, G]
     and global Sgg [G, G] blocks: precompute W = D^{-1} Scg and the inverse
     of the global Schur complement Sghat = Sgg - Scg^T D^{-1} Scg (the
-    quantities `pcg`'s coupled apply_M consumes)."""
+    quantities `pcg`'s coupled apply_M consumes).
+
+    ``axis_cam``: mesh axis name when the camera rows (M) are sharded over
+    devices (TP mode) — the over-images contraction is psum-ed so the
+    replicated Sghat_inv is identical on every shard."""
     W = jnp.einsum("mab,mbg->mag", Minv.Minv_c, Scg)
-    Sghat = Sgg - jnp.einsum("mag,mah->gh", Scg, W)
-    return Minv._replace(Scg=Scg, W=W, Sghat_inv=jnp.linalg.inv(Sghat))
+    corr = jnp.einsum("mag,mah->gh", Scg, W)
+    if axis_cam is not None:
+        corr = jax.lax.psum(corr, axis_cam)
+    return Minv._replace(Scg=Scg, W=W,
+                         Sghat_inv=jnp.linalg.inv(Sgg - corr))
 
 
 def couple_preconditioner(matvec, Minv: Precond, num_images: int, G: int,
@@ -534,7 +542,7 @@ def global_block_preconditioner(p: RCSProblem, b: Blocks):
 
 
 def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
-        matvec=None, stall_limit=None):
+        matvec=None, stall_limit=None, axis_cam: str | None = None):
     """Preconditioned CG on the implicit reduced system.
 
     ``Minv`` is either a `Precond` (camera + global blocks) or a bare
@@ -544,15 +552,24 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
     improves the best residual by >=10% — f32 rounding floors the
     achievable residual (floor depends on the preconditioner), and spinning
     at the floor wastes matvecs.  Default: 8 for f32 inputs, disabled for
-    f64 (tight-tolerance parity paths legitimately plateau longer)."""
+    f64 (tight-tolerance parity paths legitimately plateau longer).
+
+    ``axis_cam``: mesh axis name when the camera vectors (rc, xc, ...) hold
+    only this device's shard of the image rows (TP mode) — the over-images
+    contractions (dots, the coupled preconditioner's Scg^T u) are psum-ed
+    so the scalar CG recurrences stay replicated-identical."""
     if matvec is None:
         def matvec(xc_, xg_):
             return schur_matvec(p, b, xc_, xg_)
 
+    def _pc(x):
+        return jax.lax.psum(x, axis_cam) if axis_cam is not None else x
+
     if isinstance(Minv, Precond) and Minv.Scg is not None:
         def apply_M(rc_, rg_):
             u = jnp.einsum("mab,mb->ma", Minv.Minv_c, rc_)
-            zg = Minv.Sghat_inv @ (rg_ - jnp.einsum("mag,ma->g", Minv.Scg, u))
+            zg = Minv.Sghat_inv @ (
+                rg_ - _pc(jnp.einsum("mag,ma->g", Minv.Scg, u)))
             zc = u - jnp.einsum("mag,g->ma", Minv.W, zg)
             return zc, zg
     elif isinstance(Minv, Precond):
@@ -564,7 +581,7 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
             return jnp.einsum("mab,mb->ma", Minv, rc_), rg_
 
     def dot(ac, ag, bc_, bg_):
-        return jnp.sum(ac * bc_) + jnp.sum(ag * bg_)
+        return _pc(jnp.sum(ac * bc_)) + jnp.sum(ag * bg_)
 
     xc = jnp.zeros_like(rc)
     xg = jnp.zeros_like(rg)

@@ -100,15 +100,29 @@ def shard_arrays(problem: rcs.RCSProblem, state: ParamState, mesh: Mesh,
 def make_spmd_fm_lm_step(problem: rcs.RCSProblem, state: ParamState,
                          spec, mesh: Mesh, damping=1e-4,
                          cg_tol=1e-6, cg_maxiter=200,
-                         couple_global: bool = True, axis: str = AXIS):
+                         couple_global: bool = True, axis: str = AXIS,
+                         cam_shard: bool = False):
     """Build the jitted point-sharded FM LM step.
 
     Returns (step, args0) where ``step(points, io, dist, eo) ->
     (new (points, io, dist, eo), max_dx, omega0, cg_it)`` — the parameter
     blocks travel through so the returned function can be iterated; points
     stay sharded over the mesh, the rest replicated.
+
+    ``cam_shard``: tensor-parallel mode (survey section 2.J TP row) — the
+    reduced camera system is additionally *sharded by image rows* over the
+    same mesh axis: the fused [M, F] image reduction lands via one
+    reduce_scatter (each device owns M/D images' reduced rows and their
+    6x6 preconditioner factorization panels), the PCG state is camera-
+    sharded with psum-ed dots, and the matvec re-forms the tiny full [M, 6]
+    vector with one tiled all_gather.  Requires M %% mesh size == 0.
+    Numerics are identical to the replicated path up to summation order.
     """
     args, specs, P_loc = shard_arrays(problem, state, mesh, axis)
+    if cam_shard and problem.num_images % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"cam_shard requires the image count ({problem.num_images}) to "
+            f"be a multiple of the mesh size ({mesh.shape[axis]})")
     M = problem.num_images
     V = problem.point_uniform
     dt = problem.obs_xy.dtype
@@ -127,14 +141,18 @@ def make_spmd_fm_lm_step(problem: rcs.RCSProblem, state: ParamState,
         st = ParamState(points=points, io=io, dist=dist, eo=eo)
         b, rc, rg, Minv = engine.prepare(
             p_loc, st, spec, jnp.asarray(damping, dt),
-            couple_global=couple_global, axis=axis)
+            couple_global=couple_global, axis=axis, cam_scatter=cam_shard)
         b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
 
         def matvec(c, g):
-            return engine.schur_matvec(p_loc, b, c, g, axis=axis)
+            return engine.schur_matvec(p_loc, b, c, g, axis=axis,
+                                       cam_scatter=cam_shard)
 
         xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
-                             maxiter=cg_maxiter, matvec=matvec)
+                             maxiter=cg_maxiter, matvec=matvec,
+                             axis_cam=axis if cam_shard else None)
+        if cam_shard:
+            xc = jax.lax.all_gather(xc, axis, axis=0, tiled=True)
         dxp = engine.back_substitute_points(p_loc, b, xc, xg)
 
         C = io.shape[0]

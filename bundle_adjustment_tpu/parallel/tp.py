@@ -1,0 +1,261 @@
+"""Tensor-parallel direct solve of the reduced camera system.
+
+Survey section 2.J's TP row: "shard the reduced normal matrix /
+factorization panels across devices".  The reference factorises its
+(packed, dense) normal system with single-threaded LAPACK
+(``MathExtension.java:239-426``); the flagship TPU path avoids an explicit
+reduced matrix entirely (implicit-Schur PCG, `parallel/rcs.py`).  This
+module covers the ground between the two: an **explicit dense reduced
+system** assembled in one batched pass, factorised by a **distributed
+blocked right-looking Cholesky** whose row panels live on different
+devices of a `jax.sharding.Mesh` — the TPU-native equivalent of a
+ScaLAPACK ``pdpotrf``:
+
+* row-panel distribution: device d owns the contiguous rows
+  ``[d*n/D, (d+1)*n/D)`` of the matrix (and of the resulting factor);
+* per block step: the owner's diagonal block row is replicated with one
+  ``psum`` (masked contribution trick), every device solves its local
+  panel against ``L_kk^{-T}`` (its *factorization panel*), one tiled
+  ``all_gather`` re-forms the full column panel, and the trailing update
+  is a local [n/D, bs] @ [bs, n] MXU matmul;
+* triangular solves stream block-wise with one small ``psum`` per step.
+
+Static shapes throughout (`lax.fori_loop` + masking): the trailing update
+always spans the full row, so the kernel spends ~3x the flops of a
+perfectly-shrinking factorization — the price of XLA-friendly control
+flow; the panels and updates are large MXU matmuls, and memory per device
+is n^2/D.  Use the implicit PCG (`rcs.pcg`) for the 100k+-point regime;
+use this for a direct solve / dense factor of reduced systems that
+exceed a single device or when a factor is wanted for many right-hand
+sides (covariance columns).
+
+Cross-checks: `tests/test_tp_cholesky.py` pins the distributed factor,
+solve, and the assembled reduced system against `jnp.linalg` and the PCG
+path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import rcs
+
+AXIS = "tp"
+
+
+def _i32(*idx):
+    """dynamic_slice requires same-dtype indices; pin to int32 (x64-safe)."""
+    return tuple(jnp.asarray(i, jnp.int32) for i in idx)
+
+
+# ---------------------------------------------------------------------------
+# explicit reduced system
+# ---------------------------------------------------------------------------
+
+def assemble_reduced_system(p: rcs.RCSProblem, b: rcs.Blocks):
+    """Dense damped reduced (Schur) system over [cameras | globals].
+
+    S = [[Scc, Scg], [Scg^T, Sgg]] with the point block eliminated:
+    S** = H** - H*p Hpp^{-1} Hp* (BundleAdjustment.java:1197-1342 does the
+    mirror-image elimination sequentially per image; here every block is
+    one batched einsum + segment reduction).  Returns (S [u, u], r [u])
+    with u = 6 M + G, camera-major.
+
+    Memory: the camera-camera correction materialises [P, V, V, 6, 6]
+    (V = uniform views per point) — intended for direct-solve scale
+    (M up to a few thousand), not the 1M-point PCG regime.
+    """
+    if p.point_uniform is None:
+        raise ValueError("assemble_reduced_system requires the uniform "
+                         "point-major layout")
+    M, G = p.num_images, b.Jg.shape[2]
+    Pn, V = p.num_points, p.point_uniform
+
+    Hpc = jnp.einsum("nia,nib->nab", b.Jp, b.PJc)        # [N, 3, 6]
+    Hpc_v = Hpc.reshape(Pn, V, 3, 6)
+    Y_v = jnp.einsum("pab,pvbc->pvac", b.Hpp_inv, Hpc_v)  # Hpp^{-1} Hpc
+    pair = jnp.einsum("pvab,pwac->pvwbc", Hpc_v, Y_v)     # [P, V, V, 6, 6]
+    img = p.obs_image.reshape(Pn, V)
+    ids = (img[:, :, None] * M + img[:, None, :]).reshape(-1)
+    corr_cc = jax.ops.segment_sum(
+        pair.reshape(-1, 6, 6), ids, num_segments=M * M).reshape(M, M, 6, 6)
+
+    Hcc = rcs._seg_image(p, jnp.einsum("nia,nib->nab", b.Jc, b.PJc))
+    Scc = -corr_cc
+    diag = Hcc + b.extra_c[:, :, None] * jnp.eye(6, dtype=Hcc.dtype)
+    Scc = Scc.at[jnp.arange(M), jnp.arange(M)].add(diag)
+
+    # camera-global coupling
+    Hpg = rcs._seg_point(p, jnp.einsum("nia,nib->nab", b.Jp, b.PJg))
+    W = jnp.einsum("pab,pbg->pag", b.Hpp_inv, Hpg)        # [P, 3, G]
+    Hcg = rcs._seg_image(p, jnp.einsum("nia,nib->nab", b.Jc, b.PJg))
+    corr_cg = rcs._seg_image(
+        p, jnp.einsum("nab,nag->nbg", Hpc, rcs._expand_point(p, W)))
+    Scg = Hcg - corr_cg                                    # [M, 6, G]
+
+    Hgg = jnp.einsum("nia,nib->ab", b.Jg, b.PJg) + jnp.diag(b.extra_g)
+    Sgg = Hgg - jnp.einsum("pag,pab,pbh->gh", Hpg, b.Hpp_inv, Hpg)
+
+    u = 6 * M + G
+    S = jnp.zeros((u, u), Scc.dtype)
+    S = S.at[:6 * M, :6 * M].set(
+        Scc.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M))
+    S = S.at[:6 * M, 6 * M:].set(Scg.reshape(6 * M, G))
+    S = S.at[6 * M:, :6 * M].set(Scg.reshape(6 * M, G).T)
+    S = S.at[6 * M:, 6 * M:].set(Sgg)
+
+    rc, rg = rcs.reduced_rhs(p, b)
+    r = jnp.concatenate([rc.reshape(-1), rg])
+    return S, r
+
+
+def pad_spd(S, r, n_pad):
+    """Pad an SPD system to size ``n_pad`` with an identity diagonal (the
+    factor of the padding is the identity; padded rhs entries are zero)."""
+    n = S.shape[0]
+    if n_pad == n:
+        return S, r
+    Sp = jnp.eye(n_pad, dtype=S.dtype).at[:n, :n].set(S)
+    return Sp, jnp.zeros(n_pad, r.dtype).at[:n].set(r)
+
+
+# ---------------------------------------------------------------------------
+# distributed blocked Cholesky
+# ---------------------------------------------------------------------------
+
+def _block_row(A, row0, n_loc, g0, bs, axis):
+    """Replicate global block row [g0, g0+bs) of the row-sharded A with one
+    masked-contribution psum."""
+    n = A.shape[1]
+    off = g0 - row0
+    in_range = jnp.logical_and(off >= 0, off < n_loc)
+    safe = jnp.clip(off, 0, n_loc - bs)
+    Rk = jax.lax.dynamic_slice(A, _i32(safe, 0), (bs, n))
+    Rk = jnp.where(in_range, Rk, jnp.zeros_like(Rk))
+    return jax.lax.psum(Rk, axis)
+
+
+def _chol_local(A, bs, axis):
+    """shard_map body: in-place blocked right-looking Cholesky of the
+    row-sharded SPD matrix.  A: [n_loc, n] local row panel; returns the
+    local rows of L (strict upper zeroed)."""
+    n_loc, n = A.shape
+    nb = n // bs
+    row0 = jax.lax.axis_index(axis) * n_loc
+    rows = row0 + jnp.arange(n_loc)
+    cols = jnp.arange(n)
+
+    def body(k, A):
+        g0 = k * bs
+        Rk = _block_row(A, row0, n_loc, g0, bs, axis)
+        Akk = jax.lax.dynamic_slice(Rk, _i32(0, g0), (bs, bs))
+        Lkk = jnp.linalg.cholesky(Akk)
+        # local factorization panel: W = A[:, g0:g0+bs] @ Lkk^{-T}
+        Pan = jax.lax.dynamic_slice(A, _i32(0, g0), (n_loc, bs))
+        Wp = jax.lax.linalg.triangular_solve(
+            Lkk, Pan, left_side=False, lower=True, transpose_a=True)
+        below = (rows >= g0 + bs)[:, None]
+        in_blk = jnp.logical_and(rows >= g0, rows < g0 + bs)[:, None]
+        Wb = jnp.where(below, Wp, 0.0)
+        # panel write-back: below rows get W, in-block rows their Lkk row,
+        # factored rows (strict upper of L) zero
+        Lrows = Lkk[jnp.clip(rows - g0, 0, bs - 1)]
+        panel_new = jnp.where(in_blk, Lrows, Wb)
+        # trailing update: one all_gather of the column panel, then a
+        # local [n_loc, bs] @ [bs, n] matmul masked to trailing columns
+        Wfull = jax.lax.all_gather(Wb, axis, axis=0, tiled=True)  # [n, bs]
+        colmask = (cols >= g0 + bs).astype(A.dtype)
+        A = A - (Wb @ Wfull.T) * colmask[None, :]
+        return jax.lax.dynamic_update_slice(A, panel_new, _i32(0, g0))
+
+    return jax.lax.fori_loop(0, nb, body, A)
+
+
+def _solve_local(L, r, bs, axis):
+    """shard_map body: y = L^{-1} r then x = L^{-T} y, block-streaming.
+    L: [n_loc, n] local rows of the factor; r: [n] replicated.  Returns the
+    replicated solution [n]."""
+    n_loc, n = L.shape
+    nb = n // bs
+    row0 = jax.lax.axis_index(axis) * n_loc
+    rows = row0 + jnp.arange(n_loc)
+    cols = jnp.arange(n)
+
+    def fwd(k, y):
+        g0 = k * bs
+        Rk = _block_row(L, row0, n_loc, g0, bs, axis)
+        Lkk = jax.lax.dynamic_slice(Rk, _i32(0, g0), (bs, bs))
+        rk = jax.lax.dynamic_slice(r, _i32(g0), (bs,))
+        acc = Rk @ jnp.where(cols < g0, y, 0.0)
+        yk = jax.lax.linalg.triangular_solve(
+            Lkk, (rk - acc)[:, None], left_side=True, lower=True)[:, 0]
+        return jax.lax.dynamic_update_slice(y, yk, _i32(g0))
+
+    y = jax.lax.fori_loop(0, nb, fwd, jnp.zeros_like(r))
+
+    def bwd(i, x):
+        k = nb - 1 - i
+        g0 = k * bs
+        Rk = _block_row(L, row0, n_loc, g0, bs, axis)
+        Lkk = jax.lax.dynamic_slice(Rk, _i32(0, g0), (bs, bs))
+        # c = sum over rows below the block of L[i, g0:g0+bs]^T x[i]
+        Pan = jax.lax.dynamic_slice(L, _i32(0, g0), (n_loc, bs))
+        xloc = jax.lax.dynamic_slice(x, _i32(row0), (n_loc,))
+        mask = (rows >= g0 + bs).astype(L.dtype)
+        c = jax.lax.psum(Pan.T @ (xloc * mask), axis)
+        yk = jax.lax.dynamic_slice(y, _i32(g0), (bs,))
+        xk = jax.lax.linalg.triangular_solve(
+            Lkk, (yk - c)[:, None], left_side=True, lower=True,
+            transpose_a=True)[:, 0]
+        return jax.lax.dynamic_update_slice(x, xk, _i32(g0))
+
+    return jax.lax.fori_loop(0, nb, bwd, jnp.zeros_like(r))
+
+
+def _check_dims(n, D, block):
+    if n % (D * block) != 0 or (n // D) % block != 0:
+        raise ValueError(
+            f"matrix size {n} must be a multiple of mesh size {D} x "
+            f"block {block} with block dividing the local row count "
+            f"(pad with pad_spd)")
+
+
+def distributed_cholesky(S, mesh: Mesh, axis: str = AXIS, block: int = 8):
+    """Row-sharded blocked Cholesky: returns L (lower, same sharding)."""
+    D = mesh.shape[axis]
+    _check_dims(S.shape[0], D, block)
+    S = jax.device_put(S, NamedSharding(mesh, P(axis, None)))
+    f = jax.shard_map(lambda A: _chol_local(A, block, axis), mesh=mesh,
+                      in_specs=(P(axis, None),), out_specs=P(axis, None),
+                      check_vma=False)
+    return jax.jit(f)(S)
+
+
+def distributed_cholesky_solve(L, r, mesh: Mesh, axis: str = AXIS,
+                               block: int = 8):
+    """Solve S x = r given the row-sharded factor L; returns x replicated."""
+    D = mesh.shape[axis]
+    _check_dims(L.shape[0], D, block)
+    r = jax.device_put(r, NamedSharding(mesh, P()))
+    f = jax.shard_map(lambda A, b: _solve_local(A, b, block, axis),
+                      mesh=mesh, in_specs=(P(axis, None), P()),
+                      out_specs=P(), check_vma=False)
+    return jax.jit(f)(L, r)
+
+
+def solve_reduced_direct(problem: rcs.RCSProblem, b: rcs.Blocks,
+                         mesh: Mesh, axis: str = AXIS, block: int = 8):
+    """Direct TP solve of the reduced system: assemble, pad to the mesh,
+    factorise, solve.  Returns (xc [M, 6], xg [G]) like `rcs.pcg`."""
+    S, r = assemble_reduced_system(problem, b)
+    D = mesh.shape[axis]
+    u = S.shape[0]
+    step = D * block
+    Sp, rp = pad_spd(S, r, -(-u // step) * step)
+    L = distributed_cholesky(Sp, mesh, axis, block)
+    x = distributed_cholesky_solve(L, rp, mesh, axis, block)[:u]
+    M = problem.num_images
+    return x[:6 * M].reshape(M, 6), x[6 * M:]

@@ -87,3 +87,52 @@ def test_spmd_fm_matches_single_device():
     for _ in range(2):
         (p2, i2, d2, e2), mdx2, om2, it2 = step(p2, i2, d2, e2)
     assert np.isfinite(float(mdx2)) and float(om2) < float(om)
+
+
+def test_spmd_fm_cam_shard_matches_single_device():
+    """TP mode: reduced camera system sharded by image rows over the mesh
+    (reduce_scatter + all_gather instead of replicated psum) == single-
+    device engine step (survey section 2.J TP row)."""
+    import bench as B
+    from bundle_adjustment_tpu.parallel import engine, rcs, spmd_fm
+
+    problem, state, spec = B.build_problem(512, 24, 8, jnp.float64, seed=3)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("pts",))
+    problem, state, _ = spmd_fm.pad_for_mesh(problem, state, mesh)
+
+    step, args0 = spmd_fm.make_spmd_fm_lm_step(
+        problem, state, spec, mesh, damping=1e-4,
+        cg_tol=1e-12, cg_maxiter=500, cam_shard=True)
+    (pts, io, dist, eo), mdx, om, it = step(*args0)
+
+    fmp = engine.fm_problem(problem)
+    dxp, dxc, dxg, b, it1 = engine.lm_step(
+        fmp, state, spec, jnp.asarray(1e-4), cg_tol=1e-12, cg_maxiter=500)
+    st1, mdx1 = rcs.apply_step(state, problem, dxp, dxc, dxg)
+
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(st1.points),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(eo), np.asarray(st1.eo),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(io), np.asarray(st1.io),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(om), float(b.omega0), rtol=1e-10)
+    np.testing.assert_allclose(float(mdx), float(mdx1), rtol=1e-7)
+
+    # the TP step composes: two more iterations contract omega
+    p2, i2, d2, e2 = pts, io, dist, eo
+    for _ in range(2):
+        (p2, i2, d2, e2), mdx2, om2, it2 = step(p2, i2, d2, e2)
+    assert np.isfinite(float(mdx2)) and float(om2) < float(om)
+
+
+def test_spmd_fm_cam_shard_rejects_ragged_images():
+    import bench as B
+    from bundle_adjustment_tpu.parallel import spmd_fm
+
+    problem, state, spec = B.build_problem(512, 23, 8, jnp.float64, seed=3)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("pts",))
+    problem, state, _ = spmd_fm.pad_for_mesh(problem, state, mesh)
+    with pytest.raises(ValueError, match="cam_shard"):
+        spmd_fm.make_spmd_fm_lm_step(problem, state, spec, mesh,
+                                     cam_shard=True)
