@@ -176,23 +176,25 @@ def _chol_local(A, bs, axis):
 
 def _solve_local(L, r, bs, axis):
     """shard_map body: y = L^{-1} r then x = L^{-T} y, block-streaming.
-    L: [n_loc, n] local rows of the factor; r: [n] replicated.  Returns the
-    replicated solution [n]."""
+    L: [n_loc, n] local rows of the factor; r: [n, k] replicated right-hand
+    sides.  Returns the replicated solution [n, k]."""
     n_loc, n = L.shape
     nb = n // bs
     row0 = jax.lax.axis_index(axis) * n_loc
     rows = row0 + jnp.arange(n_loc)
     cols = jnp.arange(n)
 
+    nrhs = r.shape[1]
+
     def fwd(k, y):
         g0 = k * bs
         Rk = _block_row(L, row0, n_loc, g0, bs, axis)
         Lkk = jax.lax.dynamic_slice(Rk, _i32(0, g0), (bs, bs))
-        rk = jax.lax.dynamic_slice(r, _i32(g0), (bs,))
-        acc = Rk @ jnp.where(cols < g0, y, 0.0)
+        rk = jax.lax.dynamic_slice(r, _i32(g0, 0), (bs, nrhs))
+        acc = Rk @ jnp.where(cols[:, None] < g0, y, 0.0)
         yk = jax.lax.linalg.triangular_solve(
-            Lkk, (rk - acc)[:, None], left_side=True, lower=True)[:, 0]
-        return jax.lax.dynamic_update_slice(y, yk, _i32(g0))
+            Lkk, rk - acc, left_side=True, lower=True)
+        return jax.lax.dynamic_update_slice(y, yk, _i32(g0, 0))
 
     y = jax.lax.fori_loop(0, nb, fwd, jnp.zeros_like(r))
 
@@ -203,14 +205,13 @@ def _solve_local(L, r, bs, axis):
         Lkk = jax.lax.dynamic_slice(Rk, _i32(0, g0), (bs, bs))
         # c = sum over rows below the block of L[i, g0:g0+bs]^T x[i]
         Pan = jax.lax.dynamic_slice(L, _i32(0, g0), (n_loc, bs))
-        xloc = jax.lax.dynamic_slice(x, _i32(row0), (n_loc,))
+        xloc = jax.lax.dynamic_slice(x, _i32(row0, 0), (n_loc, nrhs))
         mask = (rows >= g0 + bs).astype(L.dtype)
-        c = jax.lax.psum(Pan.T @ (xloc * mask), axis)
-        yk = jax.lax.dynamic_slice(y, _i32(g0), (bs,))
+        c = jax.lax.psum(Pan.T @ (xloc * mask[:, None]), axis)
+        yk = jax.lax.dynamic_slice(y, _i32(g0, 0), (bs, nrhs))
         xk = jax.lax.linalg.triangular_solve(
-            Lkk, (yk - c)[:, None], left_side=True, lower=True,
-            transpose_a=True)[:, 0]
-        return jax.lax.dynamic_update_slice(x, xk, _i32(g0))
+            Lkk, yk - c, left_side=True, lower=True, transpose_a=True)
+        return jax.lax.dynamic_update_slice(x, xk, _i32(g0, 0))
 
     return jax.lax.fori_loop(0, nb, bwd, jnp.zeros_like(r))
 
@@ -236,14 +237,19 @@ def distributed_cholesky(S, mesh: Mesh, axis: str = AXIS, block: int = 8):
 
 def distributed_cholesky_solve(L, r, mesh: Mesh, axis: str = AXIS,
                                block: int = 8):
-    """Solve S x = r given the row-sharded factor L; returns x replicated."""
+    """Solve S x = r given the row-sharded factor L; ``r`` is [n] or
+    [n, k] (multi-RHS); returns x replicated with the same shape."""
     D = mesh.shape[axis]
     _check_dims(L.shape[0], D, block)
+    squeeze = r.ndim == 1
+    if squeeze:
+        r = r[:, None]
     r = jax.device_put(r, NamedSharding(mesh, P()))
     f = jax.shard_map(lambda A, b: _solve_local(A, b, block, axis),
                       mesh=mesh, in_specs=(P(axis, None), P()),
                       out_specs=P(), check_vma=False)
-    return jax.jit(f)(L, r)
+    x = jax.jit(f)(L, r)
+    return x[:, 0] if squeeze else x
 
 
 def solve_reduced_direct(problem: rcs.RCSProblem, b: rcs.Blocks,
@@ -259,3 +265,20 @@ def solve_reduced_direct(problem: rcs.RCSProblem, b: rcs.Blocks,
     x = distributed_cholesky_solve(L, rp, mesh, axis, block)[:u]
     M = problem.num_images
     return x[:6 * M].reshape(M, 6), x[6 * M:]
+
+
+def reduced_cofactor_columns(L, indices, u, mesh: Mesh, axis: str = AXIS,
+                             block: int = 8):
+    """Selected columns of the reduced block's posterior cofactor S^{-1}
+    from the distributed factor: the exact (tolerance-free) counterpart of
+    the matrix-free PCG recovery in `parallel/covariance.py`, mirroring the
+    reference's REDUCED inversion mode which inverts the retained block on
+    the final pass (BundleAdjustment.java:255-298, :65-70).
+
+    ``L``: row-sharded factor of the (possibly padded) system; ``indices``:
+    global column indices (< u, the unpadded size); returns [u, k]."""
+    n = L.shape[0]
+    idx = np.asarray(indices)
+    E = jnp.zeros((n, idx.shape[0]), L.dtype).at[idx, np.arange(len(idx))
+                                                 ].set(1.0)
+    return distributed_cholesky_solve(L, E, mesh, axis, block)[:u]

@@ -78,3 +78,24 @@ def test_reduced_direct_solve_matches_pcg():
                                atol=1e-10)
     np.testing.assert_allclose(Sv[6 * M:], np.asarray(mg), rtol=1e-8,
                                atol=1e-10)
+
+
+def test_multi_rhs_and_cofactor_columns():
+    """Multi-RHS distributed solve == dense; cofactor columns == rows of
+    the dense inverse (REDUCED inversion mode semantics at scale)."""
+    rng = np.random.default_rng(9)
+    n = 64
+    A = rng.standard_normal((n, n))
+    S = jnp.asarray(A @ A.T + n * np.eye(n))
+    R = jnp.asarray(rng.standard_normal((n, 5)))
+    mesh = _mesh()
+    L = tp.distributed_cholesky(S, mesh, block=4)
+    X = tp.distributed_cholesky_solve(L, R, mesh, block=4)
+    np.testing.assert_allclose(np.asarray(X),
+                               np.asarray(jnp.linalg.solve(S, R)),
+                               rtol=1e-9, atol=1e-11)
+
+    cols = [0, 17, 63]
+    Q = tp.reduced_cofactor_columns(L, cols, n, mesh, block=4)
+    Qref = np.linalg.inv(np.asarray(S))[:, cols]
+    np.testing.assert_allclose(np.asarray(Q), Qref, rtol=1e-8, atol=1e-12)
