@@ -161,6 +161,42 @@ def pad_problem(problem: rcs.RCSProblem, state: ParamState,
     return problem, state, P
 
 
+def pad_images(problem: rcs.RCSProblem, state: ParamState, multiple: int):
+    """Pad the image count to a multiple of ``multiple`` with fully-fixed
+    dummy images (no observation references them, free_eo = 0 gives their
+    reduced blocks a unit diagonal, so their step stays exactly 0).  Needed
+    by the camera-sharded TP step (spmd_fm cam_shard) when M is not a
+    multiple of the mesh size.  Returns (problem, state, M_original)."""
+    M = problem.num_images
+    Mp = -(-M // multiple) * multiple
+    if Mp == M:
+        return problem, state, M
+    extra = Mp - M
+    dt = problem.free_eo.dtype
+
+    def cat0(a, fill=0.0):
+        pad = jnp.full((extra,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, pad])
+
+    extra_fields = {}
+    if problem.de_w is not None:
+        extra_fields["de_w"] = cat0(problem.de_w)
+        extra_fields["de_val"] = cat0(problem.de_val)
+    bs = problem.img_block_starts
+    problem = problem._replace(
+        num_images=Mp,
+        cam_of_image=cat0(problem.cam_of_image, 0),
+        free_eo=cat0(problem.free_eo),
+        img_block_starts=jnp.concatenate(
+            [bs, jnp.full((extra,), bs[-1], bs.dtype)]),
+        img2obs=None,
+        **extra_fields,
+    )
+    state = state._replace(eo=jnp.concatenate(
+        [state.eo, jnp.broadcast_to(state.eo[:1], (extra, 6))]))
+    return problem, state, M
+
+
 # ---------------------------------------------------------------------------
 # reductions
 # ---------------------------------------------------------------------------

@@ -35,12 +35,18 @@ AXIS = "pts"
 
 
 def pad_for_mesh(problem: rcs.RCSProblem, state: ParamState, mesh: Mesh,
-                 axis: str = AXIS, multiple: int = 1):
+                 axis: str = AXIS, multiple: int = 1,
+                 images: bool = False):
     """Pad the point count so every shard holds the same number of whole
-    points (and optionally a multiple of the Pallas lane block)."""
+    points (and optionally a multiple of the Pallas lane block).  With
+    ``images`` also pad the image count to the mesh size (fully-fixed
+    dummy images) as the camera-sharded TP step requires."""
     D = mesh.shape[axis]
     m = D * multiple // math.gcd(D, multiple) if multiple > 1 else D
-    return engine.pad_problem(problem, state, multiple=m)
+    problem, state, Pn = engine.pad_problem(problem, state, multiple=m)
+    if images:
+        problem, state, _ = engine.pad_images(problem, state, D)
+    return problem, state, Pn
 
 
 def shard_arrays(problem: rcs.RCSProblem, state: ParamState, mesh: Mesh,

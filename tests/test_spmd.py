@@ -126,13 +126,36 @@ def test_spmd_fm_cam_shard_matches_single_device():
     assert np.isfinite(float(mdx2)) and float(om2) < float(om)
 
 
-def test_spmd_fm_cam_shard_rejects_ragged_images():
+def test_spmd_fm_cam_shard_ragged_images():
+    """A ragged image count is rejected without padding, and with
+    images=True padding (fully-fixed dummy images) the TP step matches the
+    unpadded single-device step on the real rows."""
     import bench as B
-    from bundle_adjustment_tpu.parallel import spmd_fm
+    from bundle_adjustment_tpu.parallel import engine, rcs, spmd_fm
 
     problem, state, spec = B.build_problem(512, 23, 8, jnp.float64, seed=3)
     mesh = Mesh(np.array(jax.devices()[:8]), ("pts",))
-    problem, state, _ = spmd_fm.pad_for_mesh(problem, state, mesh)
+    p1, s1, _ = spmd_fm.pad_for_mesh(problem, state, mesh)
     with pytest.raises(ValueError, match="cam_shard"):
-        spmd_fm.make_spmd_fm_lm_step(problem, state, spec, mesh,
-                                     cam_shard=True)
+        spmd_fm.make_spmd_fm_lm_step(p1, s1, spec, mesh, cam_shard=True)
+
+    p2, s2, _ = spmd_fm.pad_for_mesh(problem, state, mesh, images=True)
+    assert p2.num_images == 24
+    step, args0 = spmd_fm.make_spmd_fm_lm_step(
+        p2, s2, spec, mesh, damping=1e-4, cg_tol=1e-12, cg_maxiter=500,
+        cam_shard=True)
+    (pts, io, dist, eo), mdx, om, it = step(*args0)
+
+    fmp = engine.fm_problem(p1)
+    dxp, dxc, dxg, b, _ = engine.lm_step(
+        fmp, s1, spec, jnp.asarray(1e-4), cg_tol=1e-12, cg_maxiter=500)
+    st1, _ = rcs.apply_step(s1, p1, dxp, dxc, dxg)
+
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(st1.points),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(eo)[:23], np.asarray(st1.eo),
+                               rtol=1e-8, atol=1e-10)
+    # dummy images take no step
+    np.testing.assert_array_equal(np.asarray(eo)[23:],
+                                  np.asarray(s2.eo)[23:])
+    np.testing.assert_allclose(float(om), float(b.omega0), rtol=1e-10)
