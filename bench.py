@@ -183,7 +183,7 @@ def _time(fn, reps, *args):
     return (_t.time() - t0) / reps, out
 
 
-def run_suite(num_points, num_images, views, full=True):
+def run_suite(num_points, num_images, views, full=True, emit=None):
     """All measurements on one configuration; returns a dict."""
     import time
 
@@ -309,6 +309,8 @@ def run_suite(num_points, num_images, views, full=True):
     dt = (time.time() - t0) / reps
     out["lm_it_per_s_fixed_cg8"] = round(1.0 / dt, 3)
     print(f"steady-state (cg=8 fixed): {1.0/dt:.3f} it/s", file=sys.stderr)
+    if emit is not None:  # provisional result in case a later phase is cut
+        emit(dict(out))
 
     # ---- (c) Schur matvec GFLOP/s + HBM roofline ------------------------
     prep_ = jax.jit(lambda st: engine.prepare(
@@ -392,8 +394,41 @@ def main():
     num_images = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     views = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     with_config5 = len(sys.argv) <= 1  # default run covers config 4 AND 5
+    t_start = time.time()
+    # remote first-jit of every program shape makes the full suite long;
+    # emit a provisional JSON line as soon as a headline rate exists so an
+    # externally-killed run still leaves a parseable result (the final
+    # complete line supersedes it — consumers read the LAST json line)
+    java_flops_per_it = (3 * num_points) ** 3 / 6
 
-    out = run_suite(num_points, num_images, views, full=True)
+    def emit(partial, label="provisional"):
+        headline = partial.get("lm_it_per_s_fixed_cg8_pallas",
+                               partial.get("lm_it_per_s_fixed_cg8"))
+        if headline is None:
+            return
+        rec = {
+            "metric": f"lm_iterations_per_s_{num_points}pts_{num_images}img"
+                      f"_fixed_cg8",
+            "value": headline,
+            "unit": "lm_iter/s",
+            "vs_baseline": round(headline * java_flops_per_it / 5e10, 1),
+            "phase": label,
+        }
+        rec.update(partial)
+        print(json.dumps(rec), flush=True)
+
+    out = run_suite(num_points, num_images, views, full=True, emit=emit)
+
+    # config 5 only if there is wall-clock budget left for its compiles
+    budget = int(os.environ.get("BENCH_CONFIG5_BUDGET_S", "2100"))
+    if with_config5 and time.time() - t_start > budget:
+        out["config5_1m_points"] = {
+            "skipped": f"over budget ({time.time() - t_start:.0f}s elapsed, "
+                       f"BENCH_CONFIG5_BUDGET_S={budget})"}
+        with_config5 = False
+        emit(dict(out), label="pre_config5")
+    elif with_config5:
+        emit(dict(out), label="pre_config5")
 
     if with_config5:
         # BASELINE config 5 scale: 1M points / 5k images on one chip
@@ -423,9 +458,10 @@ def main():
         "value": headline,
         "unit": "lm_iter/s",
         "vs_baseline": round(headline / java_iter_s, 1),
+        "phase": "complete",
     }
     result.update({k: v for k, v in out.items()})
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

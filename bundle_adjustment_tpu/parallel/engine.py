@@ -537,6 +537,34 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
         # inverses) are built shard-locally.
         red = jax.lax.psum_scatter(stack, axis, scatter_dimension=0,
                                    tiled=True)
+    else:
+        red = _ps(stack)
+
+    rg_corr = _ps(jnp.stack(
+        [jnp.sum(b.Jg[g] * u0[0] + b.Jg[G2 + g] * u0[1])
+         for g in range(G2)]))
+
+    # global block pieces: Sgg = Hgg - Hgp Hpp^{-1} Hpg via MXU matmuls
+    JgM = jnp.stack(b.Jg)          # [2G, N]
+    PJgM = jnp.stack(b.PJg)        # [2G, N]
+    T2 = _ps(JgM @ PJgM.T)         # [2G, 2G]
+    HpgM = jnp.stack([hpg[a][g] for a in range(3) for g in range(G2)])
+    WM = jnp.stack([W[g][a] for a in range(3) for g in range(G2)])
+    T3 = _ps(WM @ HpgM.T)  # [(3G), (3G)] with row index a*G+g
+    return finish_reduction(p, b, state, damping, red, rg_corr, T2, T3,
+                            couple_global, axis=axis, cam_scatter=cam_scatter)
+
+
+def finish_reduction(p: FMProblem, b: FMBlocks, state: ParamState, damping,
+                     red, rg_corr, T2, T3, couple_global,
+                     axis: str | None = None, cam_scatter: bool = False):
+    """Shared tail of `prepare`: turn the fused per-image reduction ``red``
+    [M(, /D), 39 (+ 6G)], the global rhs correction ``rg_corr`` [G], and the
+    Sgg matmul pieces ``T2`` [2G, 2G] / ``T3`` [3G, 3G] into
+    (blocks, rc, rg, Precond).  Used by both the XLA reduction above and the
+    fused Pallas assembly kernel (kernels.prepare_pallas)."""
+    G2 = len(b.Jg) // 2
+    if cam_scatter:
         m_rows = red.shape[0]
         off = jax.lax.axis_index(axis) * m_rows
 
@@ -547,8 +575,7 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
         free_eo, de_w, de_val = _sl(p.free_eo), _sl(p.de_w), _sl(p.de_val)
         eo_own = _sl(state.eo)
     else:
-        red = _ps(stack)
-        m_rows = p.num_images
+        m_rows = red.shape[0]
         free_eo, de_w, de_val, eo_own = p.free_eo, p.de_w, p.de_val, state.eo
     bc = red[:, :6]
     extra_c = damping * red[:, 6:12] + (1.0 - free_eo)
@@ -566,18 +593,9 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     Minv_c = jnp.linalg.inv(Scc)
     b = b._replace(bc=bc, extra_c=extra_c)
 
-    rg = b.bg - _ps(jnp.stack(
-        [jnp.sum(b.Jg[g] * u0[0] + b.Jg[G2 + g] * u0[1])
-         for g in range(G2)]))
+    rg = b.bg - rg_corr
 
-    # global block: Sgg = Hgg - Hgp Hpp^{-1} Hpg via one MXU matmul
-    JgM = jnp.stack(b.Jg)          # [2G, N]
-    PJgM = jnp.stack(b.PJg)        # [2G, N]
-    T2 = _ps(JgM @ PJgM.T)         # [2G, 2G]
     Hgg = T2[:G2, :G2] + T2[G2:, G2:] + jnp.diag(b.extra_g)
-    HpgM = jnp.stack([hpg[a][g] for a in range(3) for g in range(G2)])
-    WM = jnp.stack([W[g][a] for a in range(3) for g in range(G2)])
-    T3 = _ps(WM @ HpgM.T)  # [(3G), (3G)] with row index a*G+g
     corr_g = sum(T3[a * G2:(a + 1) * G2, a * G2:(a + 1) * G2]
                  for a in range(3))
     Sgg = Hgg - corr_g
@@ -586,7 +604,7 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     if not couple_global:
         return b, rc, rg, rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g)
 
-    Scg = red[:, 39:].reshape(m_rows, 6, G2)
+    Scg = red[:, 39:39 + 6 * G2].reshape(m_rows, 6, G2)
     Minv = rcs.finish_coupling(
         rcs.Precond(Minv_c=Minv_c, Minv_g=Minv_g), Scg, Sgg,
         axis_cam=axis if cam_scatter else None)
