@@ -1,0 +1,276 @@
+"""Direct (factored) posterior covariance at scale — feature-major engine.
+
+The reference's REDUCED inversion mode factorises the retained block and
+inverts it on the final pass (BundleAdjustment.java:255-298, :65-70,
+MathExtension.java:338-366); the point-eliminated mirror image of that at
+TPU scale is: the reduced camera+global system S is *small* (u = 6M + G;
+~3k at 500 images, ~30k at 5000), so assemble it densely once, factorise it
+on the MXU, and recover *every* point's 3x3 posterior block (and any
+camera/global block) from S^{-1} by block gathers — no per-block PCG.
+
+    Q_cam       = S^{-1}
+    Qpp[p]      = Hpp^{-1}[p] + C_p^T S^{-1} C_p
+    C_p         = Hxp[:, p] Hpp^{-1}[p]    (nonzero at p's V image blocks
+                                            and the global rows)
+
+Complexity: assembly is sum_p (3 x 6M) panel matmuls (chunked, MXU),
+factor+inverse is O(u^3) once, then every point block costs a [V6+G]^2
+gather + tiny einsums — measured ~1000x the per-block rate of the
+matrix-free PCG recovery (`parallel/covariance.py`), which remains the
+right tool when u itself is too large to factorise.
+
+All functions take the feature-major `engine.FMProblem`/`FMBlocks`
+(uniform point-major layout).  The reduced system here is the *damped*
+system only if the caller linearised with damping > 0; covariance wants
+damping = 0.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine
+
+
+def _choose_chunk(P: int, target: int = 4096) -> int:
+    """Largest chunk <= target dividing P (P is a multiple of 128 after
+    engine.pad_problem; fall back to any divisor for tiny tests)."""
+    best = 1
+    for c in range(1, min(P, target) + 1):
+        if P % c == 0:
+            best = c
+    return best
+
+
+def _hpc_rows(b: engine.FMBlocks):
+    """Per-observation Hpc = Jp^T P Jc as an [N, 3, 6] array."""
+    rows = [[b.Jp[a] * b.PJc[e] + b.Jp[3 + a] * b.PJc[6 + e]
+             for e in range(6)] for a in range(3)]
+    return jnp.stack([jnp.stack(r, axis=1) for r in rows], axis=1)
+
+
+def _hpg_points(p: engine.FMProblem, b: engine.FMBlocks):
+    """Per-point Hpg [P, 3, G]."""
+    G2 = len(b.Jg) // 2
+    rows = [[engine._point_sum(p, b.Jp[a] * b.PJg[g]
+                               + b.Jp[3 + a] * b.PJg[G2 + g])
+             for g in range(G2)] for a in range(3)]
+    return jnp.stack([jnp.stack(r, axis=1) for r in rows], axis=1)
+
+
+def _hinv3(b: engine.FMBlocks):
+    """Hpp^{-1} as [P, 3, 3] from the 6 symmetric rows."""
+    h = b.Hpp_inv
+    return jnp.stack([
+        jnp.stack([h[0], h[1], h[2]], axis=1),
+        jnp.stack([h[1], h[3], h[4]], axis=1),
+        jnp.stack([h[2], h[4], h[5]], axis=1),
+    ], axis=1)
+
+
+def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
+                           damping=0.0, chunk: int | None = None):
+    """Dense reduced (Schur) system S [u, u], u = 6M + G, camera-major rows
+    (image m, component a) -> row 6m + a, globals last.
+
+    Exact for arbitrary visibility (duplicate (point, image) pairs
+    included): the camera-camera correction is accumulated per point chunk
+    as a dense [3c, 6M] panel product on the MXU instead of the
+    [P, V, V, 6, 6] pair tensor of `tp.assemble_reduced_system` — O(c * u)
+    memory, O(P * u^2 * 3 / c-batched) flops.
+    """
+    M, G2 = p.num_images, len(b.Jg) // 2
+    P_, V = p.num_points, p.views
+    K = 6 * M
+    dt = b.Jp[0].dtype
+    if chunk is None:
+        chunk = _choose_chunk(P_)
+
+    # per-image full blocks ------------------------------------------------
+    iu = np.triu_indices(6)
+    tri_rows = [b.Jc[e] * b.PJc[f] + b.Jc[6 + e] * b.PJc[6 + f]
+                for e, f in zip(*iu)]
+    hcg_rows = [b.Jc[e] * b.PJg[g] + b.Jc[6 + e] * b.PJg[G2 + g]
+                for e in range(6) for g in range(G2)]
+    red = engine._image_sum_stack(p, tri_rows + hcg_rows)
+    Hcc = jnp.zeros((M, 6, 6), dt)
+    Hcc = Hcc.at[:, iu[0], iu[1]].set(red[:, :21])
+    Hcc = Hcc.at[:, iu[1], iu[0]].set(red[:, :21])
+    Hcg = red[:, 21:].reshape(M, 6, G2)
+
+    # extra_c exactly as engine.finish_reduction (damping on the diagonal,
+    # fixed-EO unit rows, directly-observed EO weights)
+    hdiag = Hcc[:, jnp.arange(6), jnp.arange(6)]
+    extra_c = damping * hdiag + (1.0 - p.free_eo)
+    if p.de_w is not None:
+        extra_c = extra_c + p.de_w * p.free_eo * (1.0 + damping)
+    Hcc = Hcc + extra_c[:, :, None] * jnp.eye(6, dtype=dt)
+
+    # global block ---------------------------------------------------------
+    JgM = jnp.stack(b.Jg)
+    PJgM = jnp.stack(b.PJg)
+    T2 = JgM @ PJgM.T
+    Hgg = T2[:G2, :G2] + T2[G2:, G2:] + jnp.diag(b.extra_g)
+
+    HpgP = _hpg_points(p, b)          # [P, 3, G]
+    Hinv = _hinv3(b)                  # [P, 3, 3]
+    WpgP = jnp.einsum("pij,pjg->pig", Hinv, HpgP)
+    Sgg = Hgg - jnp.einsum("pig,pih->gh", HpgP, WpgP)
+
+    # chunked camera-camera / camera-global corrections --------------------
+    HpcM = _hpc_rows(b)               # [N, 3, 6]
+    img = p.obs_image.astype(jnp.int32)
+    nchunks = P_ // chunk
+    cV = chunk * V
+
+    def body(i, carry):
+        Acc, Acg = carry
+        o0 = i * cV
+        hpc = jax.lax.dynamic_slice(HpcM, (o0, 0, 0), (cV, 3, 6))
+        im = jax.lax.dynamic_slice(img, (o0,), (cV,))
+        pl = jnp.arange(cV, dtype=jnp.int32) // jnp.int32(V)
+        D = jnp.zeros((chunk, 3, M, 6), dt).at[pl, :, im, :].add(hpc)
+        D2 = D.reshape(chunk, 3, K)
+        hin = jax.lax.dynamic_slice(Hinv, (i * chunk, 0, 0), (chunk, 3, 3))
+        B2 = jnp.einsum("cij,cjK->ciK", hin, D2)
+        Df = D2.reshape(chunk * 3, K)
+        Bf = B2.reshape(chunk * 3, K)
+        Acc = Acc + Df.T @ Bf
+        wpg = jax.lax.dynamic_slice(
+            WpgP, (i * chunk, 0, 0), (chunk, 3, G2)).reshape(chunk * 3, G2)
+        Acg = Acg + Df.T @ wpg
+        return Acc, Acg
+
+    Acc, Acg = jax.lax.fori_loop(
+        0, nchunks, body, (jnp.zeros((K, K), dt), jnp.zeros((K, G2), dt)))
+
+    Scc = -Acc
+    bd = jnp.arange(M)
+    Scc = Scc.reshape(M, 6, M, 6).at[bd, :, bd, :].add(Hcc).reshape(K, K)
+    Scg = Hcg.reshape(K, G2) - Acg
+
+    u = K + G2
+    S = jnp.zeros((u, u), dt)
+    S = S.at[:K, :K].set(Scc)
+    S = S.at[:K, K:].set(Scg)
+    S = S.at[K:, :K].set(Scg.T)
+    S = S.at[K:, K:].set(Sgg)
+    return S
+
+
+def reduced_inverse(S):
+    """S^{-1} via Cholesky (SPD; the reduced system of a datum-fixed or
+    directly-observed network is SPD — survey F12 REDUCED semantics)."""
+    L = jnp.linalg.cholesky(S)
+    eye = jnp.eye(S.shape[0], dtype=S.dtype)
+    Y = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(
+        L, Y, left_side=True, lower=True, transpose_a=True)
+
+
+def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
+                           point_ids=None, chunk: int | None = None):
+    """3x3 posterior cofactor blocks Qpp[p] = Hpp^{-1} + C_p^T S^{-1} C_p
+    for the selected points (all points when ``point_ids`` is None), given
+    the dense reduced-cofactor Qred = S^{-1} from `reduced_inverse`.
+
+    Gathers the [V6+G, V6+G] sub-block of Qred that p's coupling touches
+    and contracts it with the compact C_p — O(k (6V+G)^2) total.
+    Returns [k, 3, 3]."""
+    M, G2 = p.num_images, len(b.Jg) // 2
+    V = p.views
+    K = 6 * M
+    dt = b.Jp[0].dtype
+
+    HpcM = _hpc_rows(b)                                   # [N, 3, 6]
+    Hinv = _hinv3(b)                                      # [P, 3, 3]
+    HpgP = _hpg_points(p, b)                              # [P, 3, G]
+    img = p.obs_image.astype(jnp.int32).reshape(p.num_points, V)
+
+    Qcc = Qred[:K, :K].reshape(M, 6, M, 6)
+    Qcg = Qred[:K, K:].reshape(M, 6, G2)
+    Qgg = Qred[K:, K:]
+
+    if point_ids is None:
+        point_ids = jnp.arange(p.num_points)
+    point_ids = jnp.asarray(point_ids)
+    k = point_ids.shape[0]
+    if chunk is None:
+        chunk = _choose_chunk(k, 2048)
+
+    Hpc_v = HpcM.reshape(p.num_points, V, 3, 6)
+
+    def one_chunk(ids):
+        hin = Hinv[ids]                                   # [c, 3, 3]
+        # E_v = (Hpc_v)^T Hppinv : the camera-row blocks of C_p  [c, V, 6, 3]
+        E = jnp.einsum("cvae,cab->cveb", Hpc_v[ids], hin)
+        Cg = jnp.einsum("cag,cab->cgb", HpgP[ids], hin)   # [c, G, 3]
+        im = img[ids]                                     # [c, V]
+        Qb = Qcc[im[:, :, None], :, im[:, None, :], :]    # [c, V, V, 6, 6]
+        corr = jnp.einsum("cveb,cvwef,cwfd->cbd", E, Qb, E)
+        Qg_v = Qcg[im]                                    # [c, V, 6, G]
+        cross = jnp.einsum("cveb,cveg,cgd->cbd", E, Qg_v, Cg)
+        corr = corr + cross + cross.transpose(0, 2, 1)
+        corr = corr + jnp.einsum("cgb,gh,chd->cbd", Cg, Qgg, Cg)
+        return hin + corr
+
+    nch = k // chunk
+    out = jax.lax.map(
+        lambda i: one_chunk(jax.lax.dynamic_slice(point_ids, (i * chunk,),
+                                                  (chunk,))),
+        jnp.arange(nch))
+    out = out.reshape(nch * chunk, 3, 3)
+    if nch * chunk < k:  # remainder (point_ids not divisible by chunk)
+        out = jnp.concatenate([out, one_chunk(point_ids[nch * chunk:])])
+    return out
+
+
+def camera_covariance_dense(Qred, image_ids):
+    """6x6 posterior cofactor blocks of selected images' EO straight from
+    the dense reduced cofactor (rows/cols 6m..6m+5 of S^{-1})."""
+    ids = jnp.asarray(image_ids)
+    M6 = Qred.shape[0]
+    Qcc = Qred  # full; gather blocks
+    idx = (ids[:, None] * 6 + jnp.arange(6)[None, :]).reshape(-1)
+    sub = Qcc[idx][:, idx].reshape(ids.shape[0], 6, ids.shape[0], 6)
+    return sub[jnp.arange(ids.shape[0]), :, jnp.arange(ids.shape[0]), :]
+
+
+def point_pair_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks,
+                                Qred, pairs):
+    """Cross-point 3x3 cofactor blocks Q[p, q] = C_p^T S^{-1} C_q for the
+    given (p, q) pairs — the populated off-diagonal dispersion structure
+    (README.md:11-25) from the dense factorised path.  Returns [k, 3, 3]."""
+    M, G2 = p.num_images, len(b.Jg) // 2
+    V = p.views
+    K = 6 * M
+
+    HpcM = _hpc_rows(b).reshape(p.num_points, V, 3, 6)
+    Hinv = _hinv3(b)
+    HpgP = _hpg_points(p, b)
+    img = p.obs_image.astype(jnp.int32).reshape(p.num_points, V)
+
+    Qcc = Qred[:K, :K].reshape(M, 6, M, 6)
+    Qcg = Qred[:K, K:].reshape(M, 6, G2)
+    Qgg = Qred[K:, K:]
+
+    pairs = np.asarray(pairs)
+    ip = jnp.asarray(pairs[:, 0])
+    iq = jnp.asarray(pairs[:, 1])
+
+    def side(ids):
+        hin = Hinv[ids]
+        E = jnp.einsum("cvae,cab->cveb", HpcM[ids], hin)
+        Cg = jnp.einsum("cag,cab->cgb", HpgP[ids], hin)
+        return E, Cg, img[ids]
+
+    Ep, Cgp, imp = side(ip)
+    Eq, Cgq, imq = side(iq)
+    Qb = Qcc[imp[:, :, None], :, imq[:, None, :], :]      # [c, V, V, 6, 6]
+    out = jnp.einsum("cveb,cvwef,cwfd->cbd", Ep, Qb, Eq)
+    out = out + jnp.einsum("cveb,cveg,cgd->cbd", Ep, Qcg[imp], Cgq)
+    out = out + jnp.einsum("cgb,cwfg,cwfd->cbd", Cgp, Qcg[imq], Eq)
+    out = out + jnp.einsum("cgb,gh,chd->cbd", Cgp, Qgg, Cgq)
+    return out

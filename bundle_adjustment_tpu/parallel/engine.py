@@ -438,6 +438,8 @@ def schur_matvec(p: FMProblem, b: FMBlocks, xc, xg, axis: str | None = None,
     per-image output is combined with one reduce_scatter so each device
     keeps exactly its own rows — all_gather + reduce_scatter ride ICI in
     place of the replicated psum."""
+    if cam_scatter and axis is None:
+        raise ValueError("cam_scatter requires axis (a shard_map axis name)")
     if cam_scatter:
         xc_full = jax.lax.all_gather(xc, axis, axis=0, tiled=True)
     else:
@@ -478,6 +480,9 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     observation form Hpc_n^T Hppinv[pt_n] Hpg[pt_n] is exact for any
     visibility multiplicity because it is linear in Hpc_n.
     Returns (blocks, rc, rg, rcs.Precond)."""
+    if cam_scatter and axis is None:
+        raise ValueError("cam_scatter requires axis (a shard_map axis name)")
+
     def _ps(x):
         return jax.lax.psum(x, axis) if axis is not None else x
 

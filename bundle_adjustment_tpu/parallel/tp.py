@@ -73,6 +73,13 @@ def assemble_reduced_system(p: rcs.RCSProblem, b: rcs.Blocks):
                          "point-major layout")
     M, G = p.num_images, b.Jg.shape[2]
     Pn, V = p.num_points, p.point_uniform
+    # the [P, V, V, 6, 6] intermediate is intended for direct-solve scale;
+    # fail early with a pointer instead of an allocator OOM at PCG scale
+    if Pn * V * V > 200_000_000:
+        raise ValueError(
+            f"assemble_reduced_system intermediate [P={Pn}, V={V}, V, 6, 6] "
+            "is too large to materialise; use rcs.pcg (implicit Schur) or "
+            "engine.assemble_reduced_dense (chunked) at this scale")
 
     Hpc = jnp.einsum("nia,nib->nab", b.Jp, b.PJc)        # [N, 3, 6]
     Hpc_v = Hpc.reshape(Pn, V, 3, 6)
@@ -279,6 +286,11 @@ def reduced_cofactor_columns(L, indices, u, mesh: Mesh, axis: str = AXIS,
     global column indices (< u, the unpadded size); returns [u, k]."""
     n = L.shape[0]
     idx = np.asarray(indices)
+    if idx.size and not ((idx >= 0).all() and (idx < u).all()):
+        raise ValueError(
+            f"cofactor column indices must lie in [0, {u}); got "
+            f"min={idx.min()} max={idx.max()} (JAX would silently clamp "
+            "out-of-range indices into the padded identity block)")
     E = jnp.zeros((n, idx.shape[0]), L.dtype).at[idx, np.arange(len(idx))
                                                  ].set(1.0)
     return distributed_cholesky_solve(L, E, mesh, axis, block)[:u]

@@ -1,0 +1,93 @@
+"""Direct (dense factored) covariance vs the explicit reduced system and the
+matrix-free PCG recovery (cross-mode equality, survey hard-part 5)."""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    import bench as B
+    from bundle_adjustment_tpu.parallel import engine, rcs
+
+    problem, state, spec = B.build_problem(192, 7, 4, jnp.float64, seed=3)
+    problem, state, _ = engine.pad_problem(problem, state, multiple=64)
+    fmp = engine.fm_problem(problem)
+    b_fm = engine.linearize(fmp, state, spec, jnp.float64(0.0))
+    b_rcs = rcs.linearize(problem, state, spec, jnp.float64(0.0))
+    return problem, fmp, state, spec, b_fm, b_rcs
+
+
+def test_dense_assembly_matches_tp(small_problem):
+    """cov_direct.assemble_reduced_dense (chunked MXU panels) ==
+    tp.assemble_reduced_system (pair-tensor formulation) element-wise."""
+    from bundle_adjustment_tpu.parallel import cov_direct, tp
+
+    problem, fmp, state, spec, b_fm, b_rcs = small_problem
+    S1 = np.asarray(cov_direct.assemble_reduced_dense(fmp, b_fm, chunk=64))
+    S2, _ = tp.assemble_reduced_system(problem, b_rcs)
+    S2 = np.asarray(S2)
+    assert S1.shape == S2.shape
+    scale = np.abs(S2).max()
+    np.testing.assert_allclose(S1, S2, rtol=1e-9, atol=1e-9 * scale)
+
+
+def test_point_blocks_match_pcg(small_problem):
+    """Dense-factored point blocks == matrix-free PCG recovery (f64)."""
+    from bundle_adjustment_tpu.parallel import cov_direct, covariance
+
+    problem, fmp, state, spec, b_fm, b_rcs = small_problem
+    S = cov_direct.assemble_reduced_dense(fmp, b_fm)
+    Qred = cov_direct.reduced_inverse(S)
+
+    ids = np.array([5, 50, 101, 190], np.int32)
+    Qd = np.asarray(cov_direct.point_covariance_dense(
+        fmp, b_fm, Qred, jnp.asarray(ids)))
+    Qp = np.asarray(covariance.point_covariance_blocks(
+        problem, b_rcs, jnp.asarray(ids), tol=1e-13, maxiter=4000))
+    np.testing.assert_allclose(Qd, Qp, rtol=1e-7, atol=1e-13)
+
+
+def test_all_points_and_remainder_chunking(small_problem):
+    """point_ids=None computes every point; explicit non-dividing chunk
+    exercises the remainder path; both agree with the selected-id path."""
+    from bundle_adjustment_tpu.parallel import cov_direct
+
+    problem, fmp, state, spec, b_fm, b_rcs = small_problem
+    S = cov_direct.assemble_reduced_dense(fmp, b_fm)
+    Qred = cov_direct.reduced_inverse(S)
+    Qall = np.asarray(cov_direct.point_covariance_dense(fmp, b_fm, Qred))
+    assert Qall.shape == (fmp.num_points, 3, 3)
+    ids = np.arange(0, fmp.num_points, 7, dtype=np.int32)
+    Qsel = np.asarray(cov_direct.point_covariance_dense(
+        fmp, b_fm, Qred, jnp.asarray(ids), chunk=5))
+    np.testing.assert_allclose(Qsel, Qall[ids], rtol=1e-12, atol=1e-15)
+
+
+def test_camera_and_pair_blocks(small_problem):
+    """Camera 6x6 blocks == S^{-1} sub-blocks; cross-point pair blocks ==
+    PCG pair recovery."""
+    from bundle_adjustment_tpu.parallel import cov_direct, covariance
+
+    problem, fmp, state, spec, b_fm, b_rcs = small_problem
+    S = cov_direct.assemble_reduced_dense(fmp, b_fm)
+    Qred = cov_direct.reduced_inverse(S)
+
+    cam_ids = np.array([0, 3], np.int32)
+    Qc = np.asarray(cov_direct.camera_covariance_dense(Qred, cam_ids))
+    for j, m in enumerate(cam_ids):
+        np.testing.assert_allclose(
+            Qc[j], np.asarray(Qred)[6 * m:6 * m + 6, 6 * m:6 * m + 6],
+            rtol=1e-12)
+
+    pairs = np.array([[5, 50], [101, 190]], np.int32)
+    Qd = np.asarray(cov_direct.point_pair_covariance_dense(
+        fmp, b_fm, Qred, pairs))
+    Qp = np.asarray(covariance.point_pair_covariance_blocks(
+        problem, b_rcs, pairs, tol=1e-13, maxiter=4000))
+    np.testing.assert_allclose(Qd, Qp, rtol=1e-6, atol=1e-13)

@@ -17,23 +17,34 @@ EXAMPLE = "/root/reference/JAICOV/example"
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(EXAMPLE), reason="reference example data not available")
 
+# `report_solution` (the one shared REDUCED golden solve) lives in
+# conftest.py at session scope.
 
-@pytest.fixture(scope="module")
-def report_solution():
-    from bundle_adjustment_tpu.io.readers import read_aicon_report
-    from bundle_adjustment_tpu.solver.adjustment import MatrixInversion
 
-    adj, reader = read_aicon_report(os.path.join(EXAMPLE, "example.htm"))
-    # ExampleReport datum selection: names longer than 3 chars excluded
-    # (ExampleReport.java:70-81)
-    for cam in reader.cameras.values():
-        for img in cam:
-            for ic in img:
-                if len(ic.object_coordinate.name) > 3:
-                    ic.object_coordinate.set_datum(False)
-    adj.set_invert_normal_equation(MatrixInversion.REDUCED)
-    status = adj.estimate_model()
-    return adj, reader, status
+def parse_aicon_point_sigmas(path):
+    """Per-point sigma_x/y/z from the AICON report's object-point table
+    (example.htm "*** Objektpunkte ***", columns
+    `Punkt Nr. | x | y | z | sx | sy | sz | Strahlen | Ausreisser`) —
+    the independent oracle for the *per-point* posterior dispersion, not
+    just the RMS summary row."""
+    sigmas = {}
+    in_table = False
+    for line in open(path, encoding="utf-8", errors="replace"):
+        if "object_points" in line and "Objektpunkte" in line:
+            in_table = True
+            continue
+        if in_table:
+            if "Standardabweichung" in line or line.startswith("<h4"):
+                break
+            cols = line.split()
+            if len(cols) == 9:
+                try:
+                    name = cols[0]
+                    vals = [float(c) for c in cols[1:7]]
+                except ValueError:
+                    continue
+                sigmas[name] = np.array(vals[3:6])
+    return sigmas
 
 
 def test_report_parse_counts(report_solution):
@@ -86,6 +97,32 @@ def test_point_sigma_rms_matches_aicon(report_solution):
     assert abs(rms(sz) - 0.00310) / 0.00310 < 0.03
 
 
+def test_point_sigma_per_point_matches_aicon(report_solution):
+    """Element-wise per-point sigma_x/y/z vs the AICON report's object-point
+    table (example.htm ~1605-1760) — an *independent external oracle* for the
+    populated posterior dispersion, point by point rather than in RMS.
+
+    Tolerance: 2 % relative plus half a printed ULP (the table prints 4
+    decimals, so values ~0.002 carry up to 0.000050 pure quantisation)."""
+    adj, _, _ = report_solution
+    ref = parse_aicon_point_sigmas(os.path.join(EXAMPLE, "example.htm"))
+    assert len(ref) > 140
+    D = adj.get_cofactor_matrix() * adj.get_variance_factor_aposteriori()
+    checked = 0
+    for oc in adj.get_object_coordinates():
+        if oc.name not in ref:
+            continue
+        if not all(p.column >= 0 for p in oc.params):
+            continue
+        ours = np.sqrt(np.abs([D[p.column, p.column] for p in oc.params]))
+        err = np.abs(ours - ref[oc.name])
+        tol = 0.02 * ref[oc.name] + 0.000051
+        assert (err <= tol).all(), (
+            f"point {oc.name}: ours={ours} aicon={ref[oc.name]}")
+        checked += 1
+    assert checked > 140
+
+
 def test_estimated_points_match_aicon_inputs(report_solution):
     """The report's object coordinates are AICON's *estimates*; re-adjusting
     the same observations must reproduce them closely (<< point sigma)."""
@@ -113,6 +150,7 @@ def test_estimated_points_match_aicon_inputs(report_solution):
     assert max_d < 0.02
 
 
+@pytest.mark.slow
 def test_flat_file_pipeline():
     """ExampleFlatFiles pipeline: .obc/.scale/.ior/.eor/.phc readers with
     fixed A3/Cx/Cy (ExampleFlatFiles.java:85-94) and a fully populated

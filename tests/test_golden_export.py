@@ -22,24 +22,37 @@ pytestmark = pytest.mark.skipif(
 
 
 @pytest.fixture(scope="module")
-def cli_export(tmp_path_factory):
-    """One in-process CLI run (report mode) with both exporters: covers the
-    CLI argument path, the adjustment, and the writers in a single solve."""
-    import bundle_adjustment_tpu.__main__ as cli
+def cli_export(report_solution, tmp_path_factory):
+    """Writer exports of the shared session golden solve (same adjustment
+    the CLI report path produces: REDUCED inversion, default datum
+    heuristic) — one solve for the whole suite, not one per file."""
+    from bundle_adjustment_tpu.io.writers import (
+        DefaultResultWriter,
+        MatlabResultWriter,
+    )
 
+    adj, _, _ = report_solution
     out = tmp_path_factory.mktemp("export")
     base = str(out / "example")
+    DefaultResultWriter(base).export(adj)
+    MatlabResultWriter(base).export(adj)
+    return adj, base
+
+
+@pytest.mark.slow
+def test_cli_report_stats(tmp_path):
+    """End-to-end CLI run (argument parsing + solve + print format) pinning
+    the AICON golden statistics (example.htm:36-42).  Slow: a second full
+    solve beyond the shared session fixture."""
+    import bundle_adjustment_tpu.__main__ as cli
+
+    base = str(tmp_path / "example")
     buf = _io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = cli.main(["report", os.path.join(EXAMPLE, "example.htm"),
                        "--export", base, "--export-mat", base, "--quiet"])
     assert rc == 0
-    return buf.getvalue(), base
-
-
-def test_cli_report_stats(cli_export):
-    """CLI output pins the AICON golden statistics (example.htm:36-42)."""
-    stdout, _ = cli_export
+    stdout = buf.getvalue()
     assert "Number of observations:           19945" in stdout
     assert "Number of unknown parameters:     1147" in stdout
     assert "Number of datum conditions:       6" in stdout
@@ -48,6 +61,7 @@ def test_cli_report_stats(cli_export):
         if line.startswith("Variance of unit weight (post):"):
             s2 = float(line.split(":")[1])
     assert abs(np.sqrt(s2) - 0.000405) / 0.000405 < 0.01
+    assert os.path.exists(base + ".info") and os.path.exists(base + ".mat")
 
 
 def test_info_matches_snapshot(cli_export):
@@ -155,6 +169,7 @@ def fixed_datum_twin():
     return adj, bp, problem, blocks
 
 
+@pytest.mark.slow
 def test_covariance_on_demand_matches_dense_on_example(fixed_datum_twin):
     """Matrix-free point/pair/camera covariance blocks == dense Qxx blocks on
     the example network (survey hard-part 5; BundleAdjustment.java:255-298)."""
@@ -193,6 +208,7 @@ def test_covariance_on_demand_matches_dense_on_example(fixed_datum_twin):
                                atol=1e-8 * np.abs(dense).max())
 
 
+@pytest.mark.slow
 def test_example_distortion_model_runs():
     """Smoke test of the Zernike-Gradient calibration example
     (ExampleDistortionModel.java:58-187) with pinned statistics."""

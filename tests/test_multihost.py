@@ -24,6 +24,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_distributed_spmd_step():
     port = _free_port()
     coord = f"127.0.0.1:{port}"
