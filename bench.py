@@ -10,21 +10,32 @@ config 5 scale (1M pts / 5k img) on one chip:
       rate, unlike it/s with state-dependent CG counts;
   (c) Schur-matvec GFLOP/s and achieved HBM bandwidth vs the v5e
       speed-of-light (the op is bandwidth-bound: ~(36+4G) f32 rows/obs);
-  (d) covariance-blocks-on-demand rate at scale.
+  (d) covariance-blocks rate at scale (direct dense-factored recovery,
+      parallel/cov_direct.py — every point's 3x3 block);
+  (e) TP distributed-Cholesky GFLOP/s vs single-device XLA Cholesky
+      (parallel/tp.py vs MathExtension.java:239-426, the reference's
+      hot factorisation kernel).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Wall-clock discipline (round-3): ONE jitted LM program (dynamic damping /
+cg_tol / cg_maxiter / stall_limit, rcs.pcg takes traced loop controls)
+serves the adaptive phase AND the fixed-cg8 steady state; the JAX
+persistent compilation cache is enabled so repeat runs skip every compile;
+config 5 runs its cheap phases first and the provisional JSON line is
+emitted after every phase.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}
+(consumers read the LAST line; provisional lines precede it).
 
 Baseline model (vs_baseline): the reference solver as written is dense —
-even its most aggressive mode (PRE_ELIMINATION) eliminates the *cameras* and
-factorises the remaining [3P + IO + dist] block with packed LAPACK
-(BundleAdjustment.java:255-298, MathExtension.java:338-366).  At P = 1e5 that
-is a 3e5 x 3e5 dense LDL^T: ~(3e5)^3/6 = 4.5e15 flops per iteration (plus
-360 GB for the packed matrix, i.e. it cannot actually run).  Crediting the
-JVM with a very generous 5e10 flop/s sustained, the Java reference would do
-at most ~1.1e-5 LM iterations/s at this scale; that figure is the baseline
-denominator.  (The bundled example runs in this repo's dense parity path in
-~11 s for 3 iterations on CPU — see tests/test_golden_example.py — so small-
-scale parity is covered by tests; this benchmark measures the scale regime.)
+even its most aggressive mode (PRE_ELIMINATION) eliminates the *cameras*
+and factorises the remaining [3P + IO + dist] block with packed LAPACK
+(BundleAdjustment.java:255-298, MathExtension.java:338-366).  At P = 1e5
+that is a 3e5 x 3e5 dense LDL^T: ~(3e5)^3/6 = 4.5e15 flops per iteration
+(plus 360 GB for the packed matrix, i.e. it cannot actually run).
+Crediting the JVM with a very generous 5e10 flop/s sustained, the Java
+reference would do ~1.1e-5 LM iterations/s at this scale; that figure is
+the baseline denominator.  (Small-scale parity is covered by
+tests/test_golden_example.py; this benchmark measures the scale regime.)
 """
 
 from __future__ import annotations
@@ -196,6 +207,8 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
     dtype = jnp.float32
     out = {}
+    compiles = {}
+    t0 = time.time()
     print(f"building problem: P={num_points} M={num_images} "
           f"N_obs={num_points * views}", file=sys.stderr)
     problem, state0, spec = build_problem(num_points, num_images, views, dtype)
@@ -203,6 +216,10 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     fmp = engine.fm_problem(problem)
     G = 3 + spec.num_coefficients
     N = int(problem.obs_point.shape[0])
+    compiles["build_s"] = round(time.time() - t0, 2)
+    print(f"build: {compiles['build_s']}s", file=sys.stderr)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
 
     # NOTE on jit closures vs arguments: full-step programs capture the
     # problem arrays as closure constants — XLA's buffer assignment handles
@@ -213,13 +230,35 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # (parallel/bigargs.py).
     fn_, fb_ = bigargs.split_big(fmp)
 
-    lm = jax.jit(lambda st, lam: engine.lm_step(
-        fmp, st, spec, lam, cg_tol=1e-4, cg_maxiter=100, couple_global=True))
+    # ONE program for the adaptive phase and the fixed-CG steady state:
+    # damping / cg_tol / cg_maxiter / stall_limit / alpha are all traced.
+    # alpha: damped-step scaling min(0.25 lam^-0.05, 0.75)
+    # (BundleAdjustment.java:392-394), applied to dx before the update.
+    def lm_fn(st, lam, cg_tol, cg_maxiter, stall, alpha):
+        dxp, dxc, dxg, b, it = engine.lm_step(
+            fmp, st, spec, lam, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+            couple_global=True, use_pallas=on_tpu, stall_limit=stall)
+        st2, mdx = rcs.apply_step(st, problem, alpha * dxp, alpha * dxc,
+                                  alpha * dxg)
+        return st2, mdx, it
+
+    lm_ = jax.jit(lm_fn)
+
+    def lm(st, lam, cg_tol=1e-4, cg_maxiter=100, stall=8):
+        alpha = min(0.25 * lam ** -0.05, 0.75) if lam > 0 else 1.0
+        return lm_(st, jnp.asarray(lam, dtype),
+                   jnp.asarray(cg_tol, dtype),
+                   jnp.asarray(cg_maxiter, jnp.int32),
+                   jnp.asarray(stall, jnp.int32),
+                   jnp.asarray(alpha, dtype))
 
     t0 = time.time()
-    r = lm(state0, jnp.asarray(1e-2, dtype))
+    r = lm_(state0, jnp.asarray(1e-2, dtype), jnp.asarray(1e-4, dtype),
+            jnp.asarray(100, jnp.int32), jnp.asarray(8, jnp.int32),
+            jnp.asarray(0.75, dtype))
     jax.block_until_ready(r)
-    out["first_compile_s"] = round(time.time() - t0, 2)
+    compiles["lm_compile_s"] = out["first_compile_s"] = \
+        round(time.time() - t0, 2)
     print(f"first LM step (incl. compile): {out['first_compile_s']}s",
           file=sys.stderr)
 
@@ -227,7 +266,6 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # f32 LM phase (damping 0.2x schedule) to its floor, then mixed-
     # precision refinement to max|dx| <= 1e-6 (absolute; ~2e-10 relative
     # to the km-scale coordinates — beyond the reference's sqrt(eps_f64)).
-    on_tpu = jax.devices()[0].platform != "cpu"
     refiner = refine.Refiner(problem, spec, use_pallas=on_tpu)
     s_ref = hilo.from_f32(state0)
     rstep = lambda s: refiner.step(s, damping=1e-7, cg_tol=1e-8,
@@ -235,17 +273,16 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     t0 = time.time()
     r2 = rstep(s_ref)
     jax.block_until_ready(r2)
-    out["refine_compile_s"] = round(time.time() - t0, 2)
+    compiles["refine_compile_s"] = out["refine_compile_s"] = \
+        round(time.time() - t0, 2)
+    print(f"refine compile: {out['refine_compile_s']}s", file=sys.stderr)
 
     state = state0
     damp = 1e-2
     t0 = time.time()
     n_f32 = 0
     for k in range(60):
-        dxp, dxc, dxg, b, it = lm(state, jnp.asarray(damp, dtype))
-        alpha = min(0.25 * damp ** -0.05, 0.75) if damp > 0 else 1.0
-        state, mdx = rcs.apply_step(state, problem,
-                                    alpha * dxp, alpha * dxc, alpha * dxg)
+        state, mdx, it = lm(state, damp)
         damp = 0.0 if damp < 1e-9 else damp * 0.2
         n_f32 += 1
         mdx = float(mdx)
@@ -275,59 +312,51 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     out["lm_iterations_to_converge"] = n_f32 + n_ref
 
     # ---- (b) steady-state LM it/s at fixed CG work (K = 8) -------------
-    K = 8
-
-    def fixed_step(st, lam, use_pallas):
-        p_ = fmp
-        b, rc, rg, Minv = engine.prepare(p_, st, spec, lam,
-                                         couple_global=True)
-        b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
-        if use_pallas:
-            pp = kernels.pack_fm(b, p_)
-            arrs = jax.lax.optimization_barrier(
-                (pp.packed, pp.obs_img, pp.hppinv))
-            pp = pp._replace(packed=arrs[0], obs_img=arrs[1], hppinv=arrs[2])
-            mv = kernels.make_matvec(pp, b.extra_c, b.extra_g)
-        else:
-            mv = lambda c, g: engine.schur_matvec(p_, b, c, g)
-        xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=0.0, maxiter=K,
-                             matvec=mv, stall_limit=K + 1)
-        dxp = engine.back_substitute_points(p_, b, xc, xg)
-        return rcs.apply_step(st, problem, dxp, xc, xg)
-
-    fixed_ = jax.jit(fixed_step, static_argnames=("use_pallas",))
-    fixed = lambda st, lam: fixed_(st, lam, False)
-    lam = jnp.asarray(1e-6, dtype)
+    # Same compiled program: tol=0, maxiter=8, stall disabled.
+    def fixed(st):
+        st_, mdx, it = lm_(st, jnp.asarray(1e-6, dtype),
+                           jnp.asarray(0.0, dtype),
+                           jnp.asarray(8, jnp.int32),
+                           jnp.asarray(9, jnp.int32),
+                           jnp.asarray(1.0, dtype))
+        return st_, mdx
     st = state
-    r = fixed(st, lam)
+    r = fixed(st)
     jax.block_until_ready(r)
     t0 = time.time()
     reps = 10
     for _ in range(reps):
-        st, _m = fixed(st, lam)
+        st, _m = fixed(st)
     jax.block_until_ready(st)
     dt = (time.time() - t0) / reps
-    out["lm_it_per_s_fixed_cg8"] = round(1.0 / dt, 3)
-    print(f"steady-state (cg=8 fixed): {1.0/dt:.3f} it/s", file=sys.stderr)
+    key = "lm_it_per_s_fixed_cg8_pallas" if on_tpu else "lm_it_per_s_fixed_cg8"
+    out[key] = round(1.0 / dt, 3)
+    print(f"steady-state (cg=8 fixed{', pallas' if on_tpu else ''}): "
+          f"{1.0/dt:.3f} it/s", file=sys.stderr)
     if emit is not None:  # provisional result in case a later phase is cut
         emit(dict(out))
 
     # ---- (c) Schur matvec GFLOP/s + HBM roofline ------------------------
     prep_ = jax.jit(lambda st: engine.prepare(
         fmp, st, spec, jnp.asarray(1e-6, dtype), couple_global=True))
+    t0 = time.time()
     b, rc, rg, Minv = prep_(state)
     jax.block_until_ready(b)
+    compiles["prepare_xla_compile_s"] = round(time.time() - t0, 2)
     flops, fbytes = matvec_cost(N, G, views)
 
-    bn_, bb_ = bigargs.split_big(b)
-    mv_xla_ = jax.jit(lambda bbig, fbig, c, g: engine.schur_matvec(
-        bigargs.merge(fmp, fn_, fbig), bigargs.merge(b, bn_, bbig), c, g))
-    dt_x, _ = _time(mv_xla_, 30, bb_, fb_, rc, rg)
-    out["matvec_xla_gflops"] = round(flops / dt_x / 1e9, 1)
-    out["matvec_xla_gbps"] = round(fbytes / dt_x / 1e9, 1)
+    if full:
+        bn_, bb_ = bigargs.split_big(b)
+        mv_xla_ = jax.jit(lambda bbig, fbig, c, g: engine.schur_matvec(
+            bigargs.merge(fmp, fn_, fbig), bigargs.merge(b, bn_, bbig), c, g))
+        dt_x, _ = _time(mv_xla_, 30, bb_, fb_, rc, rg)
+        out["matvec_xla_gflops"] = round(flops / dt_x / 1e9, 1)
+        out["matvec_xla_gbps"] = round(fbytes / dt_x / 1e9, 1)
+    else:
+        dt_x = float("inf")
 
     dt_p = dt_x
-    if jax.devices()[0].platform != "cpu":  # Pallas needs real hardware
+    if on_tpu:  # Pallas needs real hardware
         pp = kernels.pack_fm(b, fmp)
         pp = jax.tree.map(lambda x: jax.block_until_ready(x)
                           if hasattr(x, "block_until_ready") else x, pp)
@@ -341,41 +370,73 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
                         b.extra_c, b.extra_g, rc, rg)
         out["matvec_pallas_gflops"] = round(flops / dt_p / 1e9, 1)
         out["matvec_pallas_gbps"] = round(fbytes / dt_p / 1e9, 1)
-        # steady-state it/s with the Pallas matvec
-        stp = fixed_(state, jnp.asarray(1e-6, dtype), True)
-        jax.block_until_ready(stp)
-        t0 = time.time()
-        st2 = state
-        for _ in range(10):
-            st2, _m = fixed_(st2, jnp.asarray(1e-6, dtype), True)
-        jax.block_until_ready(st2)
-        out["lm_it_per_s_fixed_cg8_pallas"] = round(10 / (time.time() - t0), 3)
-        print(f"steady-state (cg=8, pallas): "
-              f"{out['lm_it_per_s_fixed_cg8_pallas']} it/s", file=sys.stderr)
     out["matvec_hbm_sol_fraction"] = round(
         fbytes / min(dt_x, dt_p) / 1e9 / V5E_HBM_GBPS, 3)
-    print(f"matvec: xla {out['matvec_xla_gbps']} GB/s, "
+    print(f"matvec: xla {out.get('matvec_xla_gbps', '-')} GB/s, "
           f"pallas {out.get('matvec_pallas_gbps', '-')} GB/s "
           f"({out['matvec_hbm_sol_fraction']:.0%} of HBM SoL)",
           file=sys.stderr)
+    out["compile_s"] = compiles
+    if emit is not None:
+        emit(dict(out))
 
     if not full:
         return out
 
-    # ---- (d) covariance blocks on demand (VERDICT r1 item 7) ------------
-    from bundle_adjustment_tpu.parallel import covariance
+    # ---- (d) covariance blocks at scale (direct dense-factored) ---------
+    from bundle_adjustment_tpu.parallel import cov_direct
 
-    lin_ = jax.jit(lambda st: rcs.linearize(
-        problem, st, spec, jnp.asarray(0.0, dtype)))
-    blocks = lin_(state)
-    jax.block_until_ready(blocks)
-    ids = np.arange(0, num_points, max(1, num_points // 8))[:8]
-    covf_ = jax.jit(lambda bl: covariance.point_covariance_blocks(
-        problem, bl, jnp.asarray(ids), tol=1e-4, maxiter=100))
-    dt_c, Q = _time(covf_, 3, blocks)
-    out["cov_point_blocks_per_s"] = round(len(ids) / dt_c, 2)
-    print(f"covariance: {len(ids)} point blocks in {dt_c:.3f}s "
-          f"({out['cov_point_blocks_per_s']:.1f} blocks/s)", file=sys.stderr)
+    t0 = time.time()
+
+    def cov_all(st):
+        bl = engine.linearize(fmp, st, spec, jnp.asarray(0.0, dtype))
+        S = cov_direct.assemble_reduced_dense(fmp, bl)
+        Qred = cov_direct.reduced_inverse(S)
+        return cov_direct.point_covariance_dense(fmp, bl, Qred)
+
+    covf_ = jax.jit(cov_all)
+    Q = covf_(state)
+    jax.block_until_ready(Q)
+    compiles["cov_compile_s"] = round(time.time() - t0, 2)
+    dt_c, Q = _time(covf_, 2, state)
+    out["cov_point_blocks_per_s"] = round(int(Q.shape[0]) / dt_c, 1)
+    out["cov_all_points_s"] = round(dt_c, 3)
+    print(f"covariance: ALL {int(Q.shape[0])} point blocks in {dt_c:.3f}s "
+          f"({out['cov_point_blocks_per_s']:.0f} blocks/s, direct factored)",
+          file=sys.stderr)
+    if emit is not None:
+        emit(dict(out))
+
+    # ---- (e) TP distributed Cholesky vs XLA single-device ---------------
+    try:
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from bundle_adjustment_tpu.parallel import tp
+
+        n_fact = 4096
+        rngf = np.random.default_rng(7)
+        A = rngf.normal(0, 1, (n_fact, 256)).astype(np.float32)
+        Sspd = jnp.asarray(A @ A.T + n_fact * np.eye(n_fact, dtype=np.float32))
+        chol_flops = n_fact ** 3 / 3
+
+        xla_chol = jax.jit(jnp.linalg.cholesky)
+        dt_xc, _ = _time(xla_chol, 5, Sspd)
+        out["xla_cholesky_gflops"] = round(chol_flops / dt_xc / 1e9, 1)
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("tp",))
+        tp_chol = jax.jit(lambda S: tp.distributed_cholesky(
+            S, mesh, block=256))
+        dt_tc, _ = _time(tp_chol, 5, Sspd)
+        out["tp_cholesky_gflops"] = round(chol_flops / dt_tc / 1e9, 1)
+        out["tp_cholesky_n"] = n_fact
+        print(f"cholesky n={n_fact}: xla {out['xla_cholesky_gflops']} "
+              f"GFLOP/s, tp(1dev,block=256) {out['tp_cholesky_gflops']} "
+              f"GFLOP/s", file=sys.stderr)
+    except Exception as exc:  # record, don't fail the bench
+        out["tp_cholesky_error"] = str(exc)[:200]
+
+    out["compile_s"] = compiles
     return out
 
 
@@ -389,18 +450,27 @@ def main():
     # the refinement's gradient pass runs in f64 (explicit dtypes keep the
     # fast path f32)
     jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: repeat runs (and the driver's run after
+    # a warm-up) skip the multi-minute remote compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     num_points = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000
     num_images = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     views = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     with_config5 = len(sys.argv) <= 1  # default run covers config 4 AND 5
     t_start = time.time()
+
+    # baseline: dense Java reference extrapolated to this scale (see module
+    # docstring): (3P)^3/6 flops per iteration at a generous 5e10 flop/s.
+    # Computed once; used by the provisional emits and the final record.
+    java_iter_s = 1.0 / (((3 * num_points) ** 3 / 6) / 5e10)
+
     # remote first-jit of every program shape makes the full suite long;
     # emit a provisional JSON line as soon as a headline rate exists so an
     # externally-killed run still leaves a parseable result (the final
     # complete line supersedes it — consumers read the LAST json line)
-    java_flops_per_it = (3 * num_points) ** 3 / 6
-
     def emit(partial, label="provisional"):
         headline = partial.get("lm_it_per_s_fixed_cg8_pallas",
                                partial.get("lm_it_per_s_fixed_cg8"))
@@ -411,7 +481,7 @@ def main():
                       f"_fixed_cg8",
             "value": headline,
             "unit": "lm_iter/s",
-            "vs_baseline": round(headline * java_flops_per_it / 5e10, 1),
+            "vs_baseline": round(headline / java_iter_s, 1),
             "phase": label,
         }
         rec.update(partial)
@@ -433,22 +503,22 @@ def main():
     if with_config5:
         # BASELINE config 5 scale: 1M points / 5k images on one chip
         try:
-            c5 = run_suite(1_000_000, 5_000, views, full=False)
+            def emit5(partial, label="config5_partial"):
+                rec = dict(out)
+                rec["config5_1m_points"] = partial
+                emit(rec, label=label)
+
+            c5 = run_suite(1_000_000, 5_000, views, full=False,
+                           emit=lambda p: emit5(p))
             out["config5_1m_points"] = {
-                "lm_it_per_s_fixed_cg8": c5["lm_it_per_s_fixed_cg8"],
-                "time_to_converged_s": c5["time_to_converged_s"],
-                "converged_max_dx": c5["converged_max_dx"],
-                "matvec_pallas_gbps": c5["matvec_pallas_gbps"],
-                "matvec_hbm_sol_fraction": c5["matvec_hbm_sol_fraction"],
-                "first_compile_s": c5["first_compile_s"],
-            }
+                k: c5[k] for k in (
+                    "lm_it_per_s_fixed_cg8_pallas", "lm_it_per_s_fixed_cg8",
+                    "time_to_converged_s", "converged_max_dx",
+                    "lm_iterations_to_converge", "matvec_pallas_gbps",
+                    "matvec_hbm_sol_fraction", "first_compile_s",
+                    "compile_s") if k in c5}
         except Exception as exc:  # record instead of failing the bench
             out["config5_1m_points"] = {"error": str(exc)[:300]}
-
-    # baseline: dense Java reference extrapolated to this scale (see module
-    # docstring): (3P)^3/6 flops per iteration at a generous 5e10 flop/s.
-    u_pts = 3 * num_points
-    java_iter_s = 1.0 / ((u_pts**3 / 6) / 5e10)
 
     headline = out.get("lm_it_per_s_fixed_cg8_pallas",
                        out["lm_it_per_s_fixed_cg8"])
@@ -459,6 +529,7 @@ def main():
         "unit": "lm_iter/s",
         "vs_baseline": round(headline / java_iter_s, 1),
         "phase": "complete",
+        "total_wall_s": round(time.time() - t_start, 1),
     }
     result.update({k: v for k, v in out.items()})
     print(json.dumps(result), flush=True)

@@ -746,31 +746,40 @@ def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
 def lm_step(p: FMProblem, state: ParamState, spec, damping,
             cg_tol=1e-10, cg_maxiter=200, use_pallas=False,
             pallas_pb=None, couple_global=True,
-            state_lo: ParamState | None = None):
+            state_lo: ParamState | None = None, stall_limit=None):
     """One LM inner solve; returns (dxp, dxc, dxg, blocks, cg_iterations).
 
-    ``use_pallas``: run the CG matvec with the fused feature-major TPU
-    kernel (parallel/kernels.py) instead of the XLA formulation.
+    ``use_pallas``: run BOTH the assembly (kernels.prepare_pallas — one
+    fused pass over the packed rows instead of the XLA reduction's ~3 HBM
+    round trips) and the CG matvec with the fused feature-major TPU kernels;
+    the rows are packed exactly once per step and shared by both kernels.
     ``couple_global``: upgrade the preconditioner with the exact
     camera-global off-diagonal blocks, assembled directly inside prepare()'s
     fused per-image reduction (large CG iteration savings at the cost of 6G
-    extra feature rows in one pass — see prepare)."""
-    b, rc, rg, Minv = prepare(p, state, spec, damping,
-                              couple_global=couple_global,
-                              state_lo=state_lo)
-    b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
+    extra feature rows in one pass — see prepare).
+    ``cg_tol``/``cg_maxiter``/``stall_limit`` may be traced values — one
+    compiled program can serve phases with different CG budgets."""
     if use_pallas:
         from . import kernels
 
-        pp = kernels.pack_fm(b, p)
-        arrs = jax.lax.optimization_barrier(
-            (pp.packed, pp.obs_img, pp.hppinv))
+        b, rc, rg, Minv, pp = kernels.prepare_pallas(
+            p, state, spec, damping, couple_global=couple_global,
+            pb=pallas_pb, state_lo=state_lo)
+        # barrier only the array fields (PackedFM carries static ints)
+        b, rc, rg, Minv, arrs = jax.lax.optimization_barrier(
+            (b, rc, rg, Minv, (pp.packed, pp.obs_img, pp.hppinv)))
         pp = pp._replace(packed=arrs[0], obs_img=arrs[1], hppinv=arrs[2])
         matvec = kernels.make_matvec(pp, b.extra_c, b.extra_g, pb=pallas_pb)
     else:
+        b, rc, rg, Minv = prepare(p, state, spec, damping,
+                                  couple_global=couple_global,
+                                  state_lo=state_lo)
+        b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
+
         def matvec(c, g):
             return schur_matvec(p, b, c, g)
     xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
-                         maxiter=cg_maxiter, matvec=matvec)
+                         maxiter=cg_maxiter, matvec=matvec,
+                         stall_limit=stall_limit)
     dxp = back_substitute_points(p, b, xc, xg)
     return dxp, xc, xg, b, it

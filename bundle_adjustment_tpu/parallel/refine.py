@@ -86,9 +86,16 @@ class Refiner:
                    cg_tol=1e-7, cg_maxiter=400, stall_limit=200):
         p32 = self.fmp32
         fmp64 = self.fmp64
-        b, _rc, _rg, Minv = engine.prepare(
-            p32, s.hi, self.spec, damping,
-            couple_global=self.couple_global, state_lo=s.lo)
+        if self.use_pallas:
+            from . import kernels
+
+            b, _rc, _rg, Minv, pp = kernels.prepare_pallas(
+                p32, s.hi, self.spec, damping,
+                couple_global=self.couple_global, state_lo=s.lo)
+        else:
+            b, _rc, _rg, Minv = engine.prepare(
+                p32, s.hi, self.spec, damping,
+                couple_global=self.couple_global, state_lo=s.lo)
         bp64, bc64, bg64, omega0 = self.gradient64(fmp64, hilo.to_f64(s))
         bp32 = bp64.astype(jnp.float32)
         bc32 = bc64.astype(jnp.float32)
@@ -102,9 +109,7 @@ class Refiner:
                        bc=bc32, bg=bg32)
         b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
         if self.use_pallas:
-            from . import kernels
-
-            pp = kernels.pack_fm(b, p32)
+            # reuse the rows packed once by prepare_pallas above
             matvec = kernels.make_matvec(pp, b.extra_c, b.extra_g)
         else:
             def matvec(c, g):
