@@ -180,18 +180,41 @@ def matvec_cost(N, G, V):
     return flops_per_obs * N, fbytes
 
 
-def _time(fn, reps, *args):
+def _fetch(out):
+    """Force real device execution: pull one scalar to the host.  Through
+    the axon relay, jax.block_until_ready can acknowledge before the chip
+    executes (and identical queued executions may be elided); a host fetch
+    of output data cannot be faked.  See tools/tputime.py."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(jnp.asarray(leaves[0]).ravel()[0])
+
+
+def _time(fn, reps, *args, uniq=None):
+    """Average seconds per call, relay-proof: every queued execution is
+    made unique via ``uniq(k, args) -> args`` (defaults to identity), and
+    the batch ends with a forced fetch.  The ~25 ms fixed fetch overhead is
+    cancelled by differencing two rep counts."""
     import time as _t
 
-    import jax
-
     out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = _t.time()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (_t.time() - t0) / reps, out
+    _fetch(out)
+
+    def run(r, base):
+        t0 = _t.time()
+        o = out
+        for k in range(r):
+            a = uniq(base + k, args) if uniq is not None else args
+            o = fn(*a)
+        _fetch(o)
+        return _t.time() - t0, o
+
+    r1 = max(1, reps // 5)
+    t1, _ = run(r1, 1)
+    t2, o = run(reps, 1 + r1)
+    return max((t2 - t1) / (reps - r1), 1e-9), o
 
 
 def run_suite(num_points, num_images, views, full=True, emit=None):
@@ -216,10 +239,14 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     fmp = engine.fm_problem(problem)
     G = 3 + spec.num_coefficients
     N = int(problem.obs_point.shape[0])
-    compiles["build_s"] = round(time.time() - t0, 2)
-    print(f"build: {compiles['build_s']}s", file=sys.stderr)
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    # the Pallas kernels consume the view-major blocked lane layout; the
+    # point-major fmp stays for the XLA matvec timing and the cov phase
+    fmv = engine.to_view_major(
+        fmp, kernels.choose_pb(fmp.num_points, fmp.views)) if on_tpu else fmp
+    compiles["build_s"] = round(time.time() - t0, 2)
+    print(f"build: {compiles['build_s']}s", file=sys.stderr)
 
     # NOTE on jit closures vs arguments: full-step programs capture the
     # problem arrays as closure constants — XLA's buffer assignment handles
@@ -228,7 +255,6 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # matvec-timing programs pass big arrays as arguments, because the
     # remote-compile relay size-limits serialized constants
     # (parallel/bigargs.py).
-    fn_, fb_ = bigargs.split_big(fmp)
 
     # ONE program for the adaptive phase and the fixed-CG steady state:
     # damping / cg_tol / cg_maxiter / stall_limit / alpha are all traced.
@@ -236,7 +262,7 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # (BundleAdjustment.java:392-394), applied to dx before the update.
     def lm_fn(st, lam, cg_tol, cg_maxiter, stall, alpha):
         dxp, dxc, dxg, b, it = engine.lm_step(
-            fmp, st, spec, lam, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+            fmv, st, spec, lam, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
             couple_global=True, use_pallas=on_tpu, stall_limit=stall)
         st2, mdx = rcs.apply_step(st, problem, alpha * dxp, alpha * dxc,
                                   alpha * dxg)
@@ -321,14 +347,20 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
                            jnp.asarray(1.0, dtype))
         return st_, mdx
     st = state
-    r = fixed(st)
-    jax.block_until_ready(r)
-    t0 = time.time()
-    reps = 10
-    for _ in range(reps):
-        st, _m = fixed(st)
-    jax.block_until_ready(st)
-    dt = (time.time() - t0) / reps
+    st, _m = fixed(st)
+    _fetch(_m)  # relay-proof sync (see _time)
+
+    def _run_fixed(st, reps):
+        t0 = time.time()
+        m = None
+        for _ in range(reps):
+            st, m = fixed(st)
+        _fetch(m)
+        return time.time() - t0, st
+
+    t1, st = _run_fixed(st, 2)
+    t2, st = _run_fixed(st, 10)
+    dt = max((t2 - t1) / 8, 1e-9)
     key = "lm_it_per_s_fixed_cg8_pallas" if on_tpu else "lm_it_per_s_fixed_cg8"
     out[key] = round(1.0 / dt, 3)
     print(f"steady-state (cg=8 fixed{', pallas' if on_tpu else ''}): "
@@ -338,18 +370,20 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
     # ---- (c) Schur matvec GFLOP/s + HBM roofline ------------------------
     prep_ = jax.jit(lambda st: engine.prepare(
-        fmp, st, spec, jnp.asarray(1e-6, dtype), couple_global=True))
+        fmv, st, spec, jnp.asarray(1e-6, dtype), couple_global=True))
     t0 = time.time()
     b, rc, rg, Minv = prep_(state)
     jax.block_until_ready(b)
     compiles["prepare_xla_compile_s"] = round(time.time() - t0, 2)
     flops, fbytes = matvec_cost(N, G, views)
 
+    fn_, fb_ = bigargs.split_big(fmv)
     if full:
         bn_, bb_ = bigargs.split_big(b)
         mv_xla_ = jax.jit(lambda bbig, fbig, c, g: engine.schur_matvec(
-            bigargs.merge(fmp, fn_, fbig), bigargs.merge(b, bn_, bbig), c, g))
-        dt_x, _ = _time(mv_xla_, 30, bb_, fb_, rc, rg)
+            bigargs.merge(fmv, fn_, fbig), bigargs.merge(b, bn_, bbig), c, g))
+        dt_x, _ = _time(mv_xla_, 30, bb_, fb_, rc, rg,
+                        uniq=lambda k, a: (*a[:2], a[2] + k * 1e-30, a[3]))
         out["matvec_xla_gflops"] = round(flops / dt_x / 1e9, 1)
         out["matvec_xla_gbps"] = round(fbytes / dt_x / 1e9, 1)
     else:
@@ -357,7 +391,7 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
     dt_p = dt_x
     if on_tpu:  # Pallas needs real hardware
-        pp = kernels.pack_fm(b, fmp)
+        pp = kernels.pack_fm(b, fmv)
         pp = jax.tree.map(lambda x: jax.block_until_ready(x)
                           if hasattr(x, "block_until_ready") else x, pp)
 
@@ -367,7 +401,8 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
         mv_pal_ = jax.jit(mv_pal_f)
         dt_p, _ = _time(mv_pal_, 30, pp.packed, pp.obs_img, pp.hppinv,
-                        b.extra_c, b.extra_g, rc, rg)
+                        b.extra_c, b.extra_g, rc, rg,
+                        uniq=lambda k, a: (*a[:5], a[5] + k * 1e-30, a[6]))
         out["matvec_pallas_gflops"] = round(flops / dt_p / 1e9, 1)
         out["matvec_pallas_gbps"] = round(fbytes / dt_p / 1e9, 1)
     out["matvec_hbm_sol_fraction"] = round(
@@ -398,7 +433,9 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     Q = covf_(state)
     jax.block_until_ready(Q)
     compiles["cov_compile_s"] = round(time.time() - t0, 2)
-    dt_c, Q = _time(covf_, 2, state)
+    dt_c, Q = _time(
+        covf_, 2, state,
+        uniq=lambda k, a: (a[0]._replace(points=a[0].points + k * 1e-30),))
     out["cov_point_blocks_per_s"] = round(int(Q.shape[0]) / dt_c, 1)
     out["cov_all_points_s"] = round(dt_c, 3)
     print(f"covariance: ALL {int(Q.shape[0])} point blocks in {dt_c:.3f}s "
@@ -421,13 +458,15 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         chol_flops = n_fact ** 3 / 3
 
         xla_chol = jax.jit(jnp.linalg.cholesky)
-        dt_xc, _ = _time(xla_chol, 5, Sspd)
+        dt_xc, _ = _time(xla_chol, 5, Sspd,
+                         uniq=lambda k, a: (a[0] + k * 1e-30,))
         out["xla_cholesky_gflops"] = round(chol_flops / dt_xc / 1e9, 1)
 
         mesh = Mesh(np.array(jax.devices()[:1]), ("tp",))
         tp_chol = jax.jit(lambda S: tp.distributed_cholesky(
             S, mesh, block=256))
-        dt_tc, _ = _time(tp_chol, 5, Sspd)
+        dt_tc, _ = _time(tp_chol, 5, Sspd,
+                         uniq=lambda k, a: (a[0] + k * 1e-30,))
         out["tp_cholesky_gflops"] = round(chol_flops / dt_tc / 1e9, 1)
         out["tp_cholesky_n"] = n_fact
         print(f"cholesky n={n_fact}: xla {out['xla_cholesky_gflops']} "

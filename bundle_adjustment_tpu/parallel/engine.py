@@ -61,6 +61,12 @@ class FMProblem(NamedTuple):
     de_val: jnp.ndarray | None = None  # [M, 6]
     dg_w: jnp.ndarray | None = None    # [G]
     dg_val: jnp.ndarray | None = None  # [G]
+    # view-major blocked lane layout (Pallas kernel layout): observation
+    # arrays are ordered (point-block i, view v, point-in-block p) with
+    # lane = i*vm_pb*V + v*vm_pb + p instead of point-major n = pt*V + v.
+    # The point reduce/broadcast become V static 128-aligned lane slices
+    # inside the kernels (no selection matmuls).  None = point-major.
+    vm_pb: int | None = None
 
 
 class FMBlocks(NamedTuple):
@@ -202,14 +208,60 @@ def pad_images(problem: rcs.RCSProblem, state: ParamState, multiple: int):
 # ---------------------------------------------------------------------------
 
 def _point_sum(p: FMProblem, row):
-    """[N] -> [P] over the uniform point-major views."""
-    return row.reshape(p.num_points, p.views).sum(axis=1)
+    """[N] -> [P] over the uniform views (layout-aware)."""
+    if p.vm_pb is None:
+        return row.reshape(p.num_points, p.views).sum(axis=1)
+    nb = p.num_points // p.vm_pb
+    return row.reshape(nb, p.views, p.vm_pb).sum(axis=1).reshape(-1)
 
 
 def _point_expand(p: FMProblem, col):
-    """[P] -> [N] broadcast over views."""
+    """[P] -> [N] broadcast over views (layout-aware)."""
+    if p.vm_pb is None:
+        return jnp.broadcast_to(
+            col[:, None], (p.num_points, p.views)).reshape(-1)
+    nb = p.num_points // p.vm_pb
     return jnp.broadcast_to(
-        col[:, None], (p.num_points, p.views)).reshape(-1)
+        col.reshape(nb, 1, p.vm_pb),
+        (nb, p.views, p.vm_pb)).reshape(-1)
+
+
+def view_major_perm(P: int, V: int, pb: int) -> np.ndarray:
+    """perm[new_lane] = point-major index: new order (block, view, p_local)."""
+    nblocks = P // pb
+    i = np.arange(nblocks)[:, None, None]
+    v = np.arange(V)[None, :, None]
+    q = np.arange(pb)[None, None, :]
+    return ((i * pb + q) * V + v).reshape(-1)
+
+
+def to_view_major(p: FMProblem, pb: int = 128) -> FMProblem:
+    """Re-lay the observation axis into the view-major blocked order the
+    Pallas kernels consume (see FMProblem.vm_pb).  One-time host cost; all
+    engine reductions stay exact (same per-point / per-image sums, summation
+    order permuted).  Requires pb | num_points (pad_problem first)."""
+    if p.vm_pb is not None:
+        if p.vm_pb != pb:
+            raise ValueError(f"already view-major with pb={p.vm_pb}")
+        return p
+    if p.num_points % pb != 0:
+        raise ValueError(f"pb={pb} must divide num_points={p.num_points}; "
+                         "use pad_problem")
+    perm = view_major_perm(p.num_points, p.views, pb)
+    obs_image = np.asarray(p.obs_image)[perm]
+    img_perm, img_bs = rcs.build_image_block_layout(obs_image, p.num_images)
+
+    def g(a):
+        return jnp.asarray(np.asarray(a)[perm])
+
+    return p._replace(
+        obs_point=g(p.obs_point), obs_image=jnp.asarray(obs_image),
+        obs_x=g(p.obs_x), obs_y=g(p.obs_y),
+        wxx=g(p.wxx), wxy=g(p.wxy), wyy=g(p.wyy),
+        img_perm=jnp.asarray(img_perm),
+        img_block_starts=jnp.asarray(img_bs),
+        vm_pb=pb,
+    )
 
 
 def _image_sum_stack(p: FMProblem, rows):

@@ -2,23 +2,28 @@
 
 Layout contract (see parallel/engine.py): every per-observation quantity is
 a row of length N with N on the 128-wide lane axis; observations are stored
-point-major with a uniform view count V, so a block of NB = V * PB lanes
-covers PB whole points and the point reduce/broadcast are 0/1 selection
-matmuls on the MXU.  The camera gather/scatter are one-hot matmuls (random
-image ids have no block locality).  Per grid step:
+in the VIEW-MAJOR BLOCKED order (`engine.to_view_major`): a block of
+NB = V * PB lanes covers PB whole points with lane = v*PB + p, so the
+point reduce/broadcast are V static 128-aligned lane-slice adds/concats —
+no selection matmuls.  The camera gather/scatter use a TWO-LEVEL factored
+one-hot, img = hi*W + lo with H*W = M_pad:
 
-    onehot = (img_row == iota_m)                    [M_pad, NB]   (VPU)
-    xcr    = xcT @ onehot                           [8, NB]       (MXU)
-    t_i    = sum_a PJc[i,a] * xcr[a] + sum_g PJg[i,g] * xg[g]
-    y      = (Jp^T t) @ Sel                         [3, PB]       (MXU)
-    z      = Hpp^{-1} y                             [3, PB]       (VPU)
-    tv     = t - PJp (z @ SelT)                     [2-ish rows]
-    out_c += onehot @ (Jc^T tv)^T                   [M_pad, 8]    (MXU)
-    out_g += (Jg^T tv) @ ones                       [G_pad8, 8]   (MXU)
+    onehot_hi = (iota_H == img // W)            [H, NB]     (VPU, cost ∝ H)
+    lo_mask_w = (img % W == w)                  W x [1, NB]
+    gather:  T1 = xcT_resh @ onehot_hi          [8W, NB]    (MXU)
+             xcr = sum_w T1[8w:8w+8] * lo_mask_w
+    scatter: out[:, wH:(w+1)H] += (q * lo_mask_w) @ onehot_hi^T   (MXU)
 
-Measured context (v5e, 100k pts / 500 img / 12 views): the [N, 2, k] block
-layout pays a 12-64x TPU tile-padding tax; this kernel reads the packed
-[F, N] rows once at ~1x padding.
+versus the single-level one-hot [M_pad, NB] this cuts the dominant VPU
+generation cost by W, bounds VMEM for any image count (the single-level
+one-hot is 31 MB at M = 5000 — over the ~16 MB VMEM), and shrinks the
+padded matmul work ~4x at M = 500 / ~13x at M = 5000.
+
+Measured context (v5e, 100k pts / 500 img / 12 views, exp_tpu1/2): the
+[N, 2, k] block layout pays a 12-64x TPU tile-padding tax; packed rows read
+at ~1x.  Single-level one-hot kernel: 3.2 ms (14% of HBM speed-of-light),
+of which ~1.45 ms is one-hot generation, ~0.5 ms padded-matmul excess;
+this design removes most of both.
 """
 
 from __future__ import annotations
@@ -34,8 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 class PackedFM(NamedTuple):
-    packed: jnp.ndarray   # [F_pad, N] f32 rows (layout below)
-    obs_img: jnp.ndarray  # [1, N] int32
+    packed: jnp.ndarray   # [F_pad, N] f32 rows (layout below), view-major
+    obs_img: jnp.ndarray  # [1, N] int32 (view-major order)
     hppinv: jnp.ndarray   # [8, P] f32 (rows 0-5: sym3 inverse 00,01,02,11,12,22)
     num_points: int
     views: int
@@ -43,6 +48,8 @@ class PackedFM(NamedTuple):
     m_pad: int
     g: int                # number of global parameters
     f_pad: int
+    pb: int               # view-major point-block size (= engine vm_pb)
+    h: int                # hi-level one-hot size (W = m_pad // h)
 
 
 # packed row offsets: Jp(6) PJp(6) Jc(12) PJc(12) Jg(2G) PJg(2G) [Pw(2)]
@@ -51,10 +58,32 @@ def _offsets(G, with_pw=False):
                 Pw=36 + 4 * G, F=36 + 4 * G + (2 if with_pw else 0))
 
 
-def pack_fm(b, p, dtype=jnp.float32, with_pw: bool = False) -> PackedFM:
+def choose_h(m_pad: int, row_cost: float, h_max: int = 512) -> int:
+    """Pick the hi-level size H (divisor of m_pad, multiple of 128, <= h_max)
+    minimising one-hot generation (∝ H) + per-lo-level masking work
+    (∝ row_cost * W): H* ~ sqrt(4 * row_cost * m_pad)."""
+    best, best_cost = None, None
+    for Hc in (128, 256, 512):
+        if Hc > m_pad or Hc > h_max or m_pad % Hc != 0:
+            continue
+        cost = 2 * Hc / 8 + row_cost * (m_pad // Hc)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = Hc, cost
+    if best is None:
+        best = m_pad  # m_pad == 128
+    return best
+
+
+def pack_fm(b, p, dtype=jnp.float32, with_pw: bool = False,
+            h: int | None = None) -> PackedFM:
     """Pack engine.FMBlocks rows into the kernel layout (one [F, N] array).
-    ``with_pw`` appends the 2 weighted-misclosure rows (P w) that the fused
-    assembly kernel needs; the matvec kernel ignores them."""
+    ``p`` must be a view-major FMProblem (engine.to_view_major) — the rows
+    come out of engine.linearize already in that lane order.  ``with_pw``
+    appends the 2 weighted-misclosure rows (P w) that the fused assembly
+    kernel needs; the matvec kernel ignores them."""
+    if p.vm_pb is None:
+        raise ValueError("pack_fm requires the view-major layout; apply "
+                         "engine.to_view_major to the FMProblem first")
     G = len(b.Jg) // 2
     off = _offsets(G, with_pw)
     rows = list(b.Jp) + list(b.PJp) + list(b.Jc) + list(b.PJc) \
@@ -70,12 +99,14 @@ def pack_fm(b, p, dtype=jnp.float32, with_pw: bool = False) -> PackedFM:
     hpp = jnp.stack(list(b.Hpp_inv)).astype(dtype)
     hpp = jnp.concatenate([hpp, jnp.zeros((2, hpp.shape[1]), dtype)])
     m_pad = max(128, -(-p.num_images // 128) * 128)
+    if h is None:
+        h = choose_h(m_pad, row_cost=2.0)
     return PackedFM(
         packed=packed,
         obs_img=p.obs_image.reshape(1, -1).astype(jnp.int32),
         hppinv=hpp,
         num_points=p.num_points, views=p.views, num_images=p.num_images,
-        m_pad=m_pad, g=G, f_pad=f_pad)
+        m_pad=m_pad, g=G, f_pad=f_pad, pb=p.vm_pb, h=h)
 
 
 def choose_pb(P: int, V: int, target_nb: int = 4096) -> int:
@@ -94,55 +125,83 @@ def choose_pb(P: int, V: int, target_nb: int = 4096) -> int:
     return best
 
 
+# ---------------------------------------------------------------------------
+# in-kernel helpers (two-level one-hot; view-major point slices)
+# ---------------------------------------------------------------------------
+
+def _two_level_onehot(img, H, W, nb):
+    """Returns (onehot_hi [H, nb] f32, lo_mask: W x [1, nb] f32)."""
+    f32 = jnp.float32
+    if W == 1:
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, nb), 0)
+        return (iota_h == img).astype(f32), None
+    w32 = jnp.int32(W)
+    img_hi = jax.lax.div(img, w32)
+    img_lo = img - img_hi * w32
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, nb), 0)
+    onehot_hi = (iota_h == img_hi).astype(f32)
+    lo_mask = [(img_lo == w).astype(f32) for w in range(W)]
+    return onehot_hi, lo_mask
+
+
+def _view_sum(x, views, pb):
+    """[k, nb] -> [k, pb]: sum the V static lane slices (view-major)."""
+    y = x[:, 0:pb]
+    for v in range(1, views):
+        y = y + x[:, v * pb:(v + 1) * pb]
+    return y
+
+
+def _view_bcast(z, views):
+    """[k, pb] -> [k, nb]: broadcast back over the V lane slices."""
+    return jnp.concatenate([z] * views, axis=1)
+
+
+def _hinv_rows(h, a0, a1, a2):
+    """Symmetric-3x3 inverse apply on row triples (h rows 0-5)."""
+    return (h[0:1] * a0 + h[1:2] * a1 + h[2:3] * a2,
+            h[1:2] * a0 + h[3:4] * a1 + h[4:5] * a2,
+            h[2:3] * a0 + h[4:5] * a1 + h[5:6] * a2)
+
+
+# ---------------------------------------------------------------------------
+# matvec kernel
+# ---------------------------------------------------------------------------
+
 def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
-                   outc_ref, outg_ref, *, views, g, m_pad, pb):
+                   outc_ref, outg_ref, *, views, g, pb, H, W):
     f32 = jnp.float32
     off = _offsets(g)
     nb = views * pb
-    pk = packed_ref[:]          # [F_pad, NB]
+    pk = packed_ref[:]          # [F_pad, NB] (view-major lanes)
     img = img_ref[:]            # [1, NB] int32
 
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, nb), 0)
-    onehot = (iota_m == img).astype(f32)            # [M_pad, NB]
+    onehot_hi, lo_mask = _two_level_onehot(img, H, W, nb)
 
-    xcT = xcT_ref[:]                                # [8, M_pad]
-    xcr = jnp.dot(xcT, onehot, preferred_element_type=f32)  # [8, NB]
+    # gather xcr[a, n] = xc[img[n], a] via the factored one-hot
+    xcT = xcT_ref[:]                                    # [8W, H]
+    T1 = jnp.dot(xcT, onehot_hi, preferred_element_type=f32)  # [8W, NB]
+    if W == 1:
+        xcr = T1
+    else:
+        xcr = sum(T1[w * 8:w * 8 + 8] * lo_mask[w] for w in range(W))
 
-    xg = xg_ref[:]                                  # [8, G_pad] (row 0 live)
-
+    xg = xg_ref[:]                                      # [8, G_lane]
     jc, pjc = off["Jc"], off["PJc"]
     jg, pjg = off["Jg"], off["PJg"]
     t0 = jnp.sum(pk[pjc:pjc + 6] * xcr[:6], axis=0, keepdims=True)
     t1 = jnp.sum(pk[pjc + 6:pjc + 12] * xcr[:6], axis=0, keepdims=True)
-    # global contribution: [1, G] @ [G, NB] on the MXU
-    xg_row = xg[0:1, :g]                            # [1, G]
+    xg_row = xg[0:1, :g]                                # [1, G]
     t0 = t0 + jnp.dot(xg_row, pk[pjg:pjg + g], preferred_element_type=f32)
     t1 = t1 + jnp.dot(xg_row, pk[pjg + g:pjg + 2 * g],
                       preferred_element_type=f32)
 
-    # selection matrices for the uniform point-major reduce/broadcast
-    # (explicit lax.div with an int32 constant: jnp's `//` promotion can
-    # recurse under jax_enable_x64 while tracing the kernel)
-    v32 = jnp.int32(views)
-    sel_r = jax.lax.div(
-        jax.lax.broadcasted_iota(jnp.int32, (nb, pb), 0), v32)
-    sel_q = jax.lax.broadcasted_iota(jnp.int32, (nb, pb), 1)
-    Sel = (sel_r == sel_q).astype(f32)              # [NB, PB]
-    selT_r = jax.lax.div(
-        jax.lax.broadcasted_iota(jnp.int32, (pb, nb), 1), v32)
-    selT_q = jax.lax.broadcasted_iota(jnp.int32, (pb, nb), 0)
-    SelT = (selT_r == selT_q).astype(f32)           # [PB, NB]
-
     jp, pjp = off["Jp"], off["PJp"]
-    jt = pk[jp:jp + 3] * t0 + pk[jp + 3:jp + 6] * t1       # [3, NB]
-    y = jnp.dot(jt, Sel, preferred_element_type=f32)       # [3, PB]
-
-    h = hpp_ref[:]                                          # [8, PB]
-    z0 = h[0:1] * y[0:1] + h[1:2] * y[1:2] + h[2:3] * y[2:3]
-    z1 = h[1:2] * y[0:1] + h[3:4] * y[1:2] + h[4:5] * y[2:3]
-    z2 = h[2:3] * y[0:1] + h[4:5] * y[1:2] + h[5:6] * y[2:3]
-    z = jnp.concatenate([z0, z1, z2], axis=0)               # [3, PB]
-    zo = jnp.dot(z, SelT, preferred_element_type=f32)       # [3, NB]
+    jt = pk[jp:jp + 3] * t0 + pk[jp + 3:jp + 6] * t1        # [3, NB]
+    y = _view_sum(jt, views, pb)                            # [3, PB]
+    z = jnp.concatenate(_hinv_rows(hpp_ref[:], y[0:1], y[1:2], y[2:3]),
+                        axis=0)                              # [3, PB]
+    zo = _view_bcast(z, views)                               # [3, NB]
 
     u0 = jnp.sum(pk[pjp:pjp + 3] * zo, axis=0, keepdims=True)
     u1 = jnp.sum(pk[pjp + 3:pjp + 6] * zo, axis=0, keepdims=True)
@@ -151,10 +210,16 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
 
     qc = pk[jc:jc + 6] * tv0 + pk[jc + 6:jc + 12] * tv1     # [6, NB]
     qc8 = jnp.concatenate([qc, jnp.zeros((2, nb), f32)], axis=0)
-    # [M_pad, 8] = onehot [M_pad, NB] (x) qc8 [8, NB] contracting NB
-    contrib_c = jax.lax.dot_general(
-        onehot, qc8, (((1,), (1,)), ((), ())),
-        preferred_element_type=f32)
+    # scatter: out column m' = w*H + h (w-major; unscrambled on the host)
+    if W == 1:
+        contrib_c = jax.lax.dot_general(
+            qc8, onehot_hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                      # [8, H]
+    else:
+        B = jnp.concatenate([qc8 * lo_mask[w] for w in range(W)], axis=0)
+        contrib_c = jax.lax.dot_general(
+            B, onehot_hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                      # [8W, H]
 
     qg = pk[jg:jg + g] * tv0 + pk[jg + g:jg + 2 * g] * tv1  # [G, NB]
     g_pad8 = outg_ref.shape[0]
@@ -175,21 +240,24 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
                 interpret: bool = False):
     """Returns fn(xc [M, 6], xg [G]) -> (S@x)_c [M, 6], (S@x)_g [G]."""
     P, V, G = pp.num_points, pp.views, pp.g
-    m_pad = pp.m_pad
-    if pb is None:
-        pb = choose_pb(P, V)
+    m_pad, H = pp.m_pad, pp.h
+    if pb is not None and pb != pp.pb:
+        raise ValueError(f"pb={pb} does not match the packed view-major "
+                         f"layout (pb={pp.pb})")
+    pb = pp.pb
+    W = m_pad // H
     nb = pb * V
     grid = (P // pb,)
     g_pad8 = ((G + 7) // 8) * 8
     g_lane = max(128, ((G + 127) // 128) * 128)
+    w8 = 8 * W
 
-    kernel = functools.partial(_matvec_kernel, views=V, g=G, m_pad=m_pad,
-                               pb=pb)
+    kernel = functools.partial(_matvec_kernel, views=V, g=G, pb=pb, H=H, W=W)
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, m_pad), lambda i: (0, 0),
+            pl.BlockSpec((w8, H), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, g_lane), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -201,13 +269,13 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((m_pad, 8), lambda i: (0, 0),
+            pl.BlockSpec((w8, H), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g_pad8, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((w8, H), jnp.float32),
             jax.ShapeDtypeStruct((g_pad8, 8), jnp.float32),
         ],
         interpret=interpret,
@@ -215,15 +283,20 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
 
     def matvec(xc, xg):
         M = xc.shape[0]
-        xcT = jnp.zeros((8, m_pad), jnp.float32).at[:6, :M].set(xc.T)
-        xg_pad = jnp.zeros((8, g_lane), jnp.float32).at[0, :G].set(xg)
+        # xcT_resh[w*8+a, h] = xc_pad[h*W + w, a]
+        xc_pad = jnp.zeros((m_pad, 8), jnp.float32).at[:M, :6].set(
+            xc.astype(jnp.float32))
+        xcT = xc_pad.reshape(H, W, 8).transpose(1, 2, 0).reshape(w8, H)
+        xg_pad = jnp.zeros((8, g_lane), jnp.float32).at[0, :G].set(
+            xg.astype(jnp.float32))
         # Mosaic cannot legalize the i64 grid index maps that
         # jax_enable_x64 produces; the kernel is pure f32/int32 anyway
         with jax.enable_x64(False):
             out_c, out_g = call(xcT, xg_pad, pp.packed, pp.obs_img,
                                 pp.hppinv)
-        oc = out_c[:M, :6] + extra_c * xc
-        og = out_g[:G, 0] + extra_g * xg
+        oc = out_c.reshape(W, 8, H).transpose(2, 0, 1).reshape(m_pad, 8)
+        oc = oc[:M, :6].astype(xc.dtype) + extra_c * xc
+        og = out_g[:G, 0].astype(xg.dtype) + extra_g * xg
         return oc, og
 
     return matvec
@@ -234,37 +307,27 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
 # ---------------------------------------------------------------------------
 
 def _prepare_kernel(packed_ref, img_ref, hpp_ref,
-                    red_ref, rgq_ref, t2_ref, t3_ref, *, views, g, m_pad,
-                    pb, f99_pad, t2_pad, t3_pad):
+                    red_ref, rgq_ref, t2_ref, t3_ref, *, views, g,
+                    pb, H, W, f99_pad, t2_pad, t3_pad):
     """Fused per-image reduction of engine.prepare's 39 + 6G feature rows.
 
     Replaces the XLA path's [N, 39 + 6G] stack + image-order row gather +
     blocked cumsum (3 full-stack HBM round trips) with one pass: the packed
     [F, N] rows are read once per block, the feature products live in VMEM,
-    and the per-image accumulation is a one-hot MXU matmul (same trick as
-    `_matvec_kernel`).  Also accumulates the global-side pieces: the rhs
-    correction sum_n Jg u0 (rgq), T2 = Jg PJg^T and T3 = W Hpg^T for Sgg.
-    Row order matches engine.prepare exactly; engine.finish_reduction turns
-    the outputs into (rc, rg, Precond)."""
+    and the per-image accumulation uses the factored one-hot of
+    `_matvec_kernel` (red column m' = w*H + h, unscrambled on the host).
+    Also accumulates the global-side pieces: the rhs correction sum_n Jg u0
+    (rgq), T2 = Jg PJg^T and T3 = W Hpg^T for Sgg.  Row order matches
+    engine.prepare exactly; engine.finish_reduction turns the outputs into
+    (rc, rg, Precond)."""
     f32 = jnp.float32
     off = _offsets(g, with_pw=True)
     nb = views * pb
-    pk = packed_ref[:]          # [F_pad, NB]
+    pk = packed_ref[:]          # [F_pad, NB] (view-major lanes)
     img = img_ref[:]            # [1, NB] int32
     h = hpp_ref[:]              # [8, PB]
 
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, nb), 0)
-    onehot = (iota_m == img).astype(f32)            # [M_pad, NB]
-
-    v32 = jnp.int32(views)
-    sel_r = jax.lax.div(
-        jax.lax.broadcasted_iota(jnp.int32, (nb, pb), 0), v32)
-    sel_q = jax.lax.broadcasted_iota(jnp.int32, (nb, pb), 1)
-    Sel = (sel_r == sel_q).astype(f32)              # [NB, PB]
-    selT_r = jax.lax.div(
-        jax.lax.broadcasted_iota(jnp.int32, (pb, nb), 1), v32)
-    selT_q = jax.lax.broadcasted_iota(jnp.int32, (pb, nb), 0)
-    SelT = (selT_r == selT_q).astype(f32)           # [PB, NB]
+    onehot_hi, lo_mask = _two_level_onehot(img, H, W, nb)
 
     jp, pjp = off["Jp"], off["PJp"]
     jc, pjc = off["Jc"], off["PJc"]
@@ -272,16 +335,11 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
     pw = off["Pw"]
     Pw0, Pw1 = pk[pw:pw + 1], pk[pw + 1:pw + 2]     # [1, NB]
 
-    def hinv_rows(hh, a0, a1, a2):
-        return (hh[0:1] * a0 + hh[1:2] * a1 + hh[2:3] * a2,
-                hh[1:2] * a0 + hh[3:4] * a1 + hh[4:5] * a2,
-                hh[2:3] * a0 + hh[4:5] * a1 + hh[5:6] * a2)
-
     # bp -> z0 -> u0 (rhs Schur correction chain)
     jt = pk[jp:jp + 3] * Pw0 + pk[jp + 3:jp + 6] * Pw1       # [3, NB]
-    bp = jnp.dot(jt, Sel, preferred_element_type=f32)        # [3, PB]
-    z = jnp.concatenate(hinv_rows(h, bp[0:1], bp[1:2], bp[2:3]), axis=0)
-    zo = jnp.dot(z, SelT, preferred_element_type=f32)        # [3, NB]
+    bp = _view_sum(jt, views, pb)                            # [3, PB]
+    z = jnp.concatenate(_hinv_rows(h, bp[0:1], bp[1:2], bp[2:3]), axis=0)
+    zo = _view_bcast(z, views)                               # [3, NB]
     u0 = jnp.sum(pk[pjp:pjp + 3] * zo, axis=0, keepdims=True)
     u1 = jnp.sum(pk[pjp + 3:pjp + 6] * zo, axis=0, keepdims=True)
 
@@ -302,9 +360,9 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
     # Scc upper triangle (21): Hcc - Hcp Hpp^{-1} Hpc per observation
     hp = [[row(jp, a) * row(pjc, e) + row(jp, 3 + a) * row(pjc, 6 + e)
            for e in range(6)] for a in range(3)]
-    hio = jnp.dot(h[0:6], SelT, preferred_element_type=f32)  # [6, NB]
+    hio = _view_bcast(h[0:6], views)                 # [6, NB]
     for e in range(6):
-        he = hinv_rows(hio, hp[0][e], hp[1][e], hp[2][e])
+        he = _hinv_rows(hio, hp[0][e], hp[1][e], hp[2][e])
         for f in range(e, 6):
             jpj = row(jc, e) * row(pjc, f) + row(jc, 6 + e) * row(pjc, 6 + f)
             corr = sum(he[a] * hp[a][f] for a in range(3))
@@ -314,14 +372,14 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
     hpg_obs = jnp.concatenate(
         [row(jp, a) * row(pjg, gg) + row(jp, 3 + a) * row(pjg, g + gg)
          for a in range(3) for gg in range(g)], axis=0)      # [3G, NB]
-    hpg_blk = jnp.dot(hpg_obs, Sel, preferred_element_type=f32)  # [3G, PB]
-    Wrows = [hinv_rows(h, hpg_blk[0 * g + gg:0 * g + gg + 1],
-                       hpg_blk[1 * g + gg:1 * g + gg + 1],
-                       hpg_blk[2 * g + gg:2 * g + gg + 1])
+    hpg_blk = _view_sum(hpg_obs, views, pb)                  # [3G, PB]
+    Wrows = [_hinv_rows(h, hpg_blk[0 * g + gg:0 * g + gg + 1],
+                        hpg_blk[1 * g + gg:1 * g + gg + 1],
+                        hpg_blk[2 * g + gg:2 * g + gg + 1])
              for gg in range(g)]
     W_blk = jnp.concatenate(
         [Wrows[gg][a] for a in range(3) for gg in range(g)], axis=0)
-    Wobs = jnp.dot(W_blk, SelT, preferred_element_type=f32)  # [3G, NB]
+    Wobs = _view_bcast(W_blk, views)                         # [3G, NB]
 
     # Scg rows (6G): Hcg - Hcp Hpp^{-1} Hpg per observation
     for e in range(6):
@@ -335,31 +393,6 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
     if f99_pad > feat.shape[0]:
         feat = jnp.concatenate(
             [feat, jnp.zeros((f99_pad - feat.shape[0], nb), f32)])
-    contrib_red = jax.lax.dot_general(
-        onehot, feat, (((1,), (1,)), ((), ())), preferred_element_type=f32)
-
-    # global rhs correction rows: sum_n Jg u0
-    qg = pk[jg:jg + g] * u0 + pk[jg + g:jg + 2 * g] * u1     # [G, NB]
-    g_pad8 = rgq_ref.shape[0]
-    qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
-    contrib_rgq = jnp.dot(qg, jnp.ones((nb, 8), f32),
-                          preferred_element_type=f32)
-
-    # T2 = Jg @ PJg^T over this block's lanes
-    A2 = jnp.concatenate(
-        [pk[jg:jg + 2 * g], jnp.zeros((t2_pad - 2 * g, nb), f32)])
-    B2 = jnp.concatenate(
-        [pk[pjg:pjg + 2 * g], jnp.zeros((t2_pad - 2 * g, nb), f32)])
-    contrib_t2 = jax.lax.dot_general(
-        A2, B2, (((1,), (1,)), ((), ())), preferred_element_type=f32)
-
-    # T3 = W @ Hpg^T over this block's points
-    A3 = jnp.concatenate(
-        [W_blk, jnp.zeros((t3_pad - 3 * g, pb), f32)])
-    B3 = jnp.concatenate(
-        [hpg_blk, jnp.zeros((t3_pad - 3 * g, pb), f32)])
-    contrib_t3 = jax.lax.dot_general(
-        A3, B3, (((1,), (1,)), ((), ())), preferred_element_type=f32)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -368,20 +401,52 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
         t2_ref[:] = jnp.zeros_like(t2_ref)
         t3_ref[:] = jnp.zeros_like(t3_ref)
 
-    red_ref[:] += contrib_red
-    rgq_ref[:] += contrib_rgq
-    t2_ref[:] += contrib_t2
-    t3_ref[:] += contrib_t3
+    # two-level scatter: red[:, w*H:(w+1)*H] += (feat * lo_w) @ onehot_hi^T
+    if W == 1:
+        red_ref[:] += jax.lax.dot_general(
+            feat, onehot_hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+    else:
+        for w in range(W):
+            contrib = jax.lax.dot_general(
+                feat * lo_mask[w], onehot_hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                  # [F99p, H]
+            red_ref[:, w * H:(w + 1) * H] += contrib
+
+    # global rhs correction rows: sum_n Jg u0
+    qg = pk[jg:jg + g] * u0 + pk[jg + g:jg + 2 * g] * u1     # [G, NB]
+    g_pad8 = rgq_ref.shape[0]
+    qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
+    rgq_ref[:] += jnp.dot(qg, jnp.ones((nb, 8), f32),
+                          preferred_element_type=f32)
+
+    # T2 = Jg @ PJg^T over this block's lanes
+    A2 = jnp.concatenate(
+        [pk[jg:jg + 2 * g], jnp.zeros((t2_pad - 2 * g, nb), f32)])
+    B2 = jnp.concatenate(
+        [pk[pjg:pjg + 2 * g], jnp.zeros((t2_pad - 2 * g, nb), f32)])
+    t2_ref[:] += jax.lax.dot_general(
+        A2, B2, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    # T3 = W @ Hpg^T over this block's points
+    A3 = jnp.concatenate(
+        [W_blk, jnp.zeros((t3_pad - 3 * g, pb), f32)])
+    B3 = jnp.concatenate(
+        [hpg_blk, jnp.zeros((t3_pad - 3 * g, pb), f32)])
+    t3_ref[:] += jax.lax.dot_general(
+        A3, B3, (((1,), (1,)), ((), ())), preferred_element_type=f32)
 
 
-def make_prepare_reduction(pp: PackedFM, pb: int | None = None,
+def make_prepare_reduction(pp: PackedFM, h: int | None = None,
                            interpret: bool = False):
     """Returns fn() -> (red [M, 39+6G], rg_corr [G], T2 [2G, 2G],
     T3 [3G, 3G]) computed from the packed rows (pack_fm with_pw=True)."""
     P, V, G = pp.num_points, pp.views, pp.g
-    m_pad = pp.m_pad
-    if pb is None:
-        pb = choose_pb(P, V)
+    m_pad, pb = pp.m_pad, pp.pb
+    # h_max=256: the [H, nb] one-hot shares VMEM with the ~104 feature rows
+    # and the [F99, m_pad] resident output
+    H = choose_h(m_pad, row_cost=13.0, h_max=256) if h is None else h
+    W = m_pad // H
     nb = pb * V
     grid = (P // pb,)
     F99 = 39 + 6 * G
@@ -391,7 +456,7 @@ def make_prepare_reduction(pp: PackedFM, pb: int | None = None,
     t3_pad = ((3 * G + 7) // 8) * 8
 
     kernel = functools.partial(
-        _prepare_kernel, views=V, g=G, m_pad=m_pad, pb=pb,
+        _prepare_kernel, views=V, g=G, pb=pb, H=H, W=W,
         f99_pad=f99_pad, t2_pad=t2_pad, t3_pad=t3_pad)
     call = pl.pallas_call(
         kernel,
@@ -405,7 +470,7 @@ def make_prepare_reduction(pp: PackedFM, pb: int | None = None,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((m_pad, f99_pad), lambda i: (0, 0),
+            pl.BlockSpec((f99_pad, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g_pad8, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -415,7 +480,7 @@ def make_prepare_reduction(pp: PackedFM, pb: int | None = None,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m_pad, f99_pad), jnp.float32),
+            jax.ShapeDtypeStruct((f99_pad, m_pad), jnp.float32),
             jax.ShapeDtypeStruct((g_pad8, 8), jnp.float32),
             jax.ShapeDtypeStruct((t2_pad, t2_pad), jnp.float32),
             jax.ShapeDtypeStruct((t3_pad, t3_pad), jnp.float32),
@@ -428,6 +493,9 @@ def make_prepare_reduction(pp: PackedFM, pb: int | None = None,
     def run():
         with jax.enable_x64(False):
             red, rgq, T2, T3 = call(pp.packed, pp.obs_img, pp.hppinv)
+        # red columns are m' = w*H + hcol; unscramble to m = hcol*W + w
+        red = red.reshape(f99_pad, W, H).transpose(2, 1, 0).reshape(
+            m_pad, f99_pad)
         return (red[:M, :F99], rgq[:G, 0], T2[:2 * G, :2 * G],
                 T3[:3 * G, :3 * G])
 
@@ -440,12 +508,13 @@ def prepare_pallas(p, state, spec, damping, couple_global: bool = True,
     """Drop-in replacement for engine.prepare on the TPU f32 path: linearise
     (XLA), pack once, run the fused assembly kernel, finish in XLA.  Returns
     (blocks, rc, rg, Precond, PackedFM) — the PackedFM is reusable by
-    `make_matvec`, so the LM step packs exactly once."""
+    `make_matvec`, so the LM step packs exactly once.  ``p`` must be
+    view-major (engine.to_view_major)."""
     from . import engine
 
     b = engine.linearize(p, state, spec, damping, state_lo=state_lo)
     pp = pack_fm(b, p, with_pw=True)
-    red, rg_corr, T2, T3 = make_prepare_reduction(pp, pb, interpret)()
+    red, rg_corr, T2, T3 = make_prepare_reduction(pp, interpret=interpret)()
     out = engine.finish_reduction(p, b, state, damping, red, rg_corr,
                                   T2, T3, couple_global)
     return (*out, pp)

@@ -69,6 +69,13 @@ class Refiner:
         self.couple_global = couple_global
         self.use_pallas = use_pallas
         self.fmp32 = engine.fm_problem(problem32)
+        if use_pallas:
+            # the Pallas kernels consume the view-major blocked lane order
+            from . import kernels
+
+            self.fmp32 = engine.to_view_major(
+                self.fmp32, kernels.choose_pb(self.fmp32.num_points,
+                                              self.fmp32.views))
         self.fmp64 = engine.fm_problem(upcast_problem(problem32))
         self._step = jax.jit(self._step_impl, static_argnames=(
             "cg_tol", "cg_maxiter", "stall_limit"))

@@ -24,6 +24,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the suite is compile-dominated (10-60 s tests
+# are mostly trace+compile); repeat runs skip all of it
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 EXAMPLE = "/root/reference/JAICOV/example"
 
@@ -67,6 +73,23 @@ def report_solution():
             for ic in img:
                 if len(ic.object_coordinate.name) > 3:
                     ic.object_coordinate.set_datum(False)
+    adj.set_invert_normal_equation(MatrixInversion.REDUCED)
+    status = adj.estimate_model()
+    return adj, reader, status
+
+
+@pytest.fixture(scope="session")
+def report_solution_all_datum():
+    """The same network with EVERY object point in the free-network datum —
+    AICON's own datum definition (its report's per-point sigmas only
+    reproduce under the all-points inner-constraint basis; the
+    ExampleReport heuristic datum shifts them by up to ~8 %)."""
+    if not os.path.isdir(EXAMPLE):
+        pytest.skip("reference example data not available")
+    from bundle_adjustment_tpu.io.readers import read_aicon_report
+    from bundle_adjustment_tpu.solver.adjustment import MatrixInversion
+
+    adj, reader = read_aicon_report(os.path.join(EXAMPLE, "example.htm"))
     adj.set_invert_normal_equation(MatrixInversion.REDUCED)
     status = adj.estimate_model()
     return adj, reader, status

@@ -130,17 +130,39 @@ def test_direct_scg_matches_matvec_recovery(small_problem):
                                rtol=1e-7, atol=1e-10)
 
 
-def test_pallas_matvec_interpret(small_problem):
-    """Kernel vs XLA engine matvec, interpret mode (no TPU needed)."""
+def test_view_major_engine_parity(small_problem):
+    """The view-major blocked layout (engine.to_view_major) must reproduce
+    the point-major engine results exactly (same sums, permuted order)."""
+    problem, state, spec = small_problem
+    damping = jnp.asarray(1e-4)
+    p = engine.fm_problem(problem)
+    pv = engine.to_view_major(p, 128)
+    assert pv.vm_pb == 128
+    dxp, dxc, dxg, b, _ = engine.lm_step(
+        p, state, spec, damping, cg_tol=1e-12, cg_maxiter=500)
+    dxp_v, dxc_v, dxg_v, b_v, _ = engine.lm_step(
+        pv, state, spec, damping, cg_tol=1e-12, cg_maxiter=500)
+    np.testing.assert_allclose(dxp_v, dxp, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(dxc_v, dxc, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(dxg_v, dxg, rtol=1e-6, atol=1e-10)
+    om = engine.omega_at(pv, b_v, dxp_v, dxc_v, dxg_v)
+    om_ref = engine.omega_at(p, b, dxp, dxc, dxg)
+    np.testing.assert_allclose(om, om_ref, rtol=1e-10)
+
+
+def _pallas_matvec_case(problem, state, spec, pb=None, h=None):
+    """Shared harness: interpret-mode kernel vs f64 XLA matvec."""
     from bundle_adjustment_tpu.parallel import kernels
 
-    problem, state, spec = small_problem
     damping = jnp.asarray(1e-3)
     p = engine.fm_problem(problem)
-    b, rc, rg, Minv = engine.prepare(p, state, spec, damping)
+    if pb is None:
+        pb = kernels.choose_pb(p.num_points, p.views)
+    pv = engine.to_view_major(p, pb)
+    b, rc, rg, Minv = engine.prepare(pv, state, spec, damping)
     b32 = jax.tree.map(lambda x: x.astype(jnp.float32)
                        if x.dtype == jnp.float64 else x, b)
-    pp = kernels.pack_fm(b32, p)
+    pp = kernels.pack_fm(b32, pv, h=h)
 
     rng = np.random.default_rng(1)
     xc = jnp.asarray(rng.normal(size=rc.shape), jnp.float32)
@@ -151,12 +173,26 @@ def test_pallas_matvec_interpret(small_problem):
         b32.extra_g.astype(jnp.float32), interpret=True)
     oc, og = mv(xc, xg)
 
-    oc_ref, og_ref = engine.schur_matvec(p, b, xc.astype(jnp.float64),
+    oc_ref, og_ref = engine.schur_matvec(pv, b, xc.astype(jnp.float64),
                                          xg.astype(jnp.float64))
     scale = float(jnp.max(jnp.abs(oc_ref)))
     np.testing.assert_allclose(oc, oc_ref, rtol=2e-4, atol=2e-4 * scale)
     np.testing.assert_allclose(og, og_ref, rtol=2e-4,
                                atol=2e-4 * float(jnp.max(jnp.abs(og_ref))))
+
+
+def test_pallas_matvec_interpret(small_problem):
+    """Kernel vs XLA engine matvec, interpret mode (no TPU needed)."""
+    problem, state, spec = small_problem
+    _pallas_matvec_case(problem, state, spec)
+
+
+def test_pallas_matvec_two_level_onehot():
+    """M > 128 images exercises the factored one-hot (W > 1)."""
+    import bench as B
+
+    problem, state, spec = B.build_problem(256, 130, 8, jnp.float64, seed=5)
+    _pallas_matvec_case(problem, state, spec, pb=128, h=128)
 
 
 def test_pad_problem_parity(small_problem):
@@ -233,28 +269,8 @@ def test_zernike_lm_step_matches_rcs(zernike_problem):
 def test_zernike_pallas_matvec_interpret(zernike_problem):
     """The packed kernel is generic in G; check it carries the Zernike
     global rows correctly (interpret mode)."""
-    from bundle_adjustment_tpu.parallel import kernels
-
     problem, state, spec = zernike_problem
-    damping = jnp.asarray(1e-3)
-    p = engine.fm_problem(problem)
-    b, rc, rg, Minv = engine.prepare(p, state, spec, damping)
-    b32 = jax.tree.map(lambda x: x.astype(jnp.float32)
-                       if x.dtype == jnp.float64 else x, b)
-    pp = kernels.pack_fm(b32, p)
-    rng = np.random.default_rng(2)
-    xc = jnp.asarray(rng.normal(size=rc.shape), jnp.float32)
-    xg = jnp.asarray(rng.normal(size=rg.shape), jnp.float32)
-    mv = kernels.make_matvec(
-        pp, b32.extra_c.astype(jnp.float32),
-        b32.extra_g.astype(jnp.float32), interpret=True)
-    oc, og = mv(xc, xg)
-    oc_ref, og_ref = engine.schur_matvec(p, b, xc.astype(jnp.float64),
-                                         xg.astype(jnp.float64))
-    scale = float(jnp.max(jnp.abs(oc_ref)))
-    np.testing.assert_allclose(oc, oc_ref, rtol=2e-4, atol=2e-4 * scale)
-    np.testing.assert_allclose(og, og_ref, rtol=2e-4,
-                               atol=2e-4 * float(jnp.max(jnp.abs(og_ref))))
+    _pallas_matvec_case(problem, state, spec)
 
 
 def test_zernike_solver_convergence():

@@ -17,9 +17,16 @@ def _problem(P=128, M=6, V=4, seed=11):
     return problem, state, spec
 
 
+def _fm_vm(problem):
+    """View-major FMProblem (the layout the Pallas kernels consume)."""
+    fmp = engine.fm_problem(problem)
+    return engine.to_view_major(
+        fmp, kernels.choose_pb(fmp.num_points, fmp.views))
+
+
 def test_prepare_pallas_matches_xla():
     problem, state, spec = _problem()
-    fmp = engine.fm_problem(problem)
+    fmp = _fm_vm(problem)
     lam = jnp.asarray(1e-3, jnp.float32)
 
     b_ref, rc_ref, rg_ref, Minv_ref = engine.prepare(
@@ -60,7 +67,7 @@ def test_prepare_pallas_matches_xla():
 
 def test_prepare_pallas_uncoupled():
     problem, state, spec = _problem(seed=12)
-    fmp = engine.fm_problem(problem)
+    fmp = _fm_vm(problem)
     lam = jnp.asarray(1e-4, jnp.float32)
     b_ref, rc_ref, rg_ref, Minv_ref = engine.prepare(
         fmp, state, spec, lam, couple_global=False)
@@ -78,7 +85,7 @@ def test_prepare_pallas_full_step_converges():
     """A full LM step built from the Pallas prepare + matvec contracts the
     objective like the XLA step."""
     problem, state, spec = _problem(seed=13)
-    fmp = engine.fm_problem(problem)
+    fmp = _fm_vm(problem)
     lam = jnp.asarray(1e-4, jnp.float32)
 
     b, rc, rg, Minv, pp = kernels.prepare_pallas(
@@ -99,3 +106,22 @@ def test_prepare_pallas_full_step_converges():
     om0 = float(b.omega0)
     assert om_pal < 0.9 * om0
     assert om_pal < om_xla * 1.05
+
+
+def test_prepare_pallas_two_level_onehot():
+    """M > 128 images exercises the factored one-hot (W > 1) in the fused
+    assembly kernel."""
+    problem, state, spec = _problem(P=128, M=130, V=4, seed=14)
+    fmp = _fm_vm(problem)
+    lam = jnp.asarray(1e-3, jnp.float32)
+    b_ref, rc_ref, rg_ref, Minv_ref = engine.prepare(
+        fmp, state, spec, lam, couple_global=True)
+    b, rc, rg, Minv, pp = kernels.prepare_pallas(
+        fmp, state, spec, lam, couple_global=True, interpret=True)
+    assert pp.m_pad // kernels.choose_h(pp.m_pad, 13.0) > 1
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_ref),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rg), np.asarray(rg_ref),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.bc), np.asarray(b_ref.bc),
+                               rtol=2e-4, atol=1e-5)

@@ -64,9 +64,15 @@ def main():
           f"SoL at 819 GB/s = {fbytes/819e9*1e6:.0f} us", flush=True)
 
     # --- A: current kernel, pb sweep ---------------------------------------
+    # big arrays must be jit ARGUMENTS: the remote-compile relay rejects
+    # programs whose serialized constants exceed its body-size limit
     for pb in (128, 256):
-        mv = jax.jit(kernels.make_matvec(pp, extra_c, extra_g, pb=pb))
-        dt = timeit(f"A pallas matvec pb={pb}", mv, xc, xg)
+        def mv_f(packed, obs_img, hppinv, c, g, _pb=pb):
+            pp_ = pp._replace(packed=packed, obs_img=obs_img, hppinv=hppinv)
+            return kernels.make_matvec(pp_, extra_c, extra_g, pb=_pb)(c, g)
+        mv = jax.jit(mv_f)
+        dt = timeit(f"A pallas matvec pb={pb}", mv, packed, obs_img, hpp,
+                    xc, xg)
         print(f"    -> {fbytes/dt/1e9:.1f} GB/s eff", flush=True)
 
     # --- B/C: ablation variants --------------------------------------------
@@ -186,17 +192,17 @@ def main():
             ],
         )
 
-        def mv(xc, xg):
+        def mv(pk, oi, hp_, xc, xg):
             xcT = jnp.zeros((8, 512), jnp.float32).at[:6, :M].set(xc.T)
             xg_pad = jnp.zeros((8, g_lane), jnp.float32).at[0, :G].set(xg)
-            oc, og = call(xcT, xg_pad, packed, obs_img, hpp)
+            oc, og = call(xcT, xg_pad, pk, oi, hp_)
             return oc[:M, :6] + extra_c * xc, og[:G, 0] + extra_g * xg
 
         return jax.jit(mv)
 
     for mode in ("base", "bf16", "nogather", "noscatter", "nosel"):
         dt = timeit(f"B variant {mode:10s} pb=128", make_variant(128, mode),
-                    xc, xg)
+                    packed, obs_img, hpp, xc, xg)
         print(f"    -> {fbytes/dt/1e9:.1f} GB/s eff", flush=True)
 
     # --- D: XLA gather / permute micro ------------------------------------
