@@ -48,12 +48,21 @@ import numpy as np
 
 
 def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
-                  zernike=()):
+                  zernike=(), pad128=False):
     """Array-native synthetic network (no Python object graph at this scale).
 
     ``zernike``: optional (DistortionType, fringe_index) tuples added to the
     distortion spec with small non-zero true coefficients (the Zernike
-    calibration regime of ExampleDistortionModel.java:58-187)."""
+    calibration regime of ExampleDistortionModel.java:58-187).
+
+    Host-transfer discipline: everything is generated on the HOST (the
+    forward-model pass runs on the CPU backend) and the returned RCSProblem
+    holds numpy arrays — device placement happens exactly once downstream.
+    The axon relay moves ~30 MB/s with multi-second latencies, so each
+    avoided device round-trip is seconds (config 5: minutes).
+    ``pad128``: pad the point count to a multiple of 128 on the host
+    (zero-weight dummy points, the engine.pad_problem semantics) so the
+    device-side pad/convert pass is a no-op."""
     import jax
     import jax.numpy as jnp
 
@@ -100,21 +109,22 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
     obs_image = rng.integers(0, num_images,
                              num_points * views_per_point).astype(np.int32)
 
-    # generate exact observations with the forward model (batched on device)
-    state64 = ParamState(points=jnp.asarray(pts), io=jnp.asarray(io),
-                         dist=jnp.asarray(dist), eo=jnp.asarray(eo))
-
     from bundle_adjustment_tpu.ops.assembly import gather_local_params
 
-    cam_of_image = jnp.zeros(num_images, jnp.int32)
+    cam_of_image = np.zeros(num_images, np.int32)
 
-    @jax.jit
-    def gen(state):
+    def gen_fn(state):
         local = gather_local_params(state, jnp.asarray(obs_point),
-                                    jnp.asarray(obs_image), cam_of_image)
+                                    jnp.asarray(obs_image),
+                                    jnp.asarray(cam_of_image))
         return jax.vmap(lambda l: predict_image_point(l, spec, 10.0))(local)
 
-    xy = np.asarray(gen(state64))
+    # forward-model generation on the CPU backend: the result stays on the
+    # host (a device round-trip is 192 MB at config 5)
+    with jax.default_device(jax.devices("cpu")[0]):
+        state64 = ParamState(points=jnp.asarray(pts), io=jnp.asarray(io),
+                             dist=jnp.asarray(dist), eo=jnp.asarray(eo))
+        xy = np.asarray(jax.jit(gen_fn)(state64))
     sigma = 5e-4
     xy = xy + rng.normal(0, sigma, xy.shape)
 
@@ -127,31 +137,53 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
     free_eo = np.ones((num_images, 6))
     free_global = np.ones(3 + K)
 
+    # perturbed start
+    pts0 = pts + rng.normal(0, 0.05, pts.shape) * free_point
+    eo0 = eo + rng.normal(0, 1e-5, eo.shape)
+
+    if pad128:
+        # host-side engine.pad_problem: zero-weight dummy points copying
+        # point 0 (finite geometry, nulled contributions), marked fixed
+        P_pad = -(-num_points // 128) * 128
+        extra = P_pad - num_points
+        if extra:
+            V = views_per_point
+            obs_point = np.concatenate(
+                [obs_point,
+                 np.repeat(np.arange(num_points, P_pad, dtype=np.int32), V)])
+            obs_image = np.concatenate(
+                [obs_image, np.zeros(extra * V, np.int32)])
+            xy = np.concatenate([xy, np.zeros((extra * V, 2))])
+            w2 = np.concatenate([w2, np.zeros((extra * V, 2, 2))])
+            free_point = np.concatenate([free_point, np.zeros((extra, 3))])
+            pts0 = np.concatenate(
+                [pts0, np.broadcast_to(pts0[0], (extra, 3))])
+            num_points = P_pad
+
     # Blocked image-reduction layout (scatter-free) + uniform point-major
     # reshape reductions — the TPU fast path.
     from bundle_adjustment_tpu.parallel.rcs import build_image_block_layout
 
     img_perm, img_bstarts = build_image_block_layout(obs_image, num_images)
 
+    npdt = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
     problem = RCSProblem(
-        img_perm=jnp.asarray(img_perm),
-        img_block_starts=jnp.asarray(img_bstarts),
+        img_perm=img_perm.astype(np.int32),
+        img_block_starts=img_bstarts.astype(np.int32),
         point_uniform=views_per_point,
-        obs_point=jnp.asarray(obs_point), obs_image=jnp.asarray(obs_image),
+        obs_point=obs_point, obs_image=obs_image,
         cam_of_image=cam_of_image,
-        obs_xy=jnp.asarray(xy, dtype), obs_weight=jnp.asarray(w2, dtype),
-        r0=jnp.asarray([10.0], dtype),
+        obs_xy=xy.astype(npdt), obs_weight=w2.astype(npdt),
+        r0=np.asarray([10.0], npdt),
         num_points=num_points, num_images=num_images,
-        free_point=jnp.asarray(free_point, dtype),
-        free_eo=jnp.asarray(free_eo, dtype),
-        free_global=jnp.asarray(free_global, dtype),
+        free_point=free_point.astype(npdt),
+        free_eo=free_eo.astype(npdt),
+        free_global=free_global.astype(npdt),
     )
-    # perturbed start
-    pts0 = pts + rng.normal(0, 0.05, pts.shape) * free_point
     state = ParamState(points=jnp.asarray(pts0, dtype),
                        io=jnp.asarray(io, dtype),
                        dist=jnp.asarray(dist, dtype),
-                       eo=jnp.asarray(eo + rng.normal(0, 1e-5, eo.shape), dtype))
+                       eo=jnp.asarray(eo0, dtype))
     return problem, state, spec
 
 
@@ -192,6 +224,33 @@ def _fetch(out):
     return float(jnp.asarray(leaves[0]).ravel()[0])
 
 
+def _time_chain(fn, reps, feed, *args):
+    """Slope timing with a DEPENDENCY CHAIN: ``feed(out, args) -> args``
+    builds the next call's arguments from the previous output, so queued
+    executions cannot be elided or reordered by the relay."""
+    import time as _t
+
+    out = fn(*args)
+    _fetch(out)
+
+    def run(r, a):
+        t0 = _t.time()
+        o = out
+        for _ in range(r):
+            o = fn(*a)
+            a = feed(o, a)
+        _fetch(o)
+        return _t.time() - t0
+
+    r1 = max(1, reps // 5)
+    t1 = run(r1, args)
+    t2 = run(reps, args)
+    dt = (t2 - t1) / (reps - r1)
+    if dt <= 0:  # slope lost in timer noise (tiny problems): upper bound
+        dt = t2 / reps
+    return dt, out
+
+
 def _time(fn, reps, *args, uniq=None):
     """Average seconds per call, relay-proof: every queued execution is
     made unique via ``uniq(k, args) -> args`` (defaults to identity), and
@@ -214,7 +273,10 @@ def _time(fn, reps, *args, uniq=None):
     r1 = max(1, reps // 5)
     t1, _ = run(r1, 1)
     t2, o = run(reps, 1 + r1)
-    return max((t2 - t1) / (reps - r1), 1e-9), o
+    dt = (t2 - t1) / (reps - r1)
+    if dt <= 0:  # slope lost in timer noise (tiny problems): upper bound
+        dt = t2 / reps
+    return dt, o
 
 
 def run_suite(num_points, num_images, views, full=True, emit=None):
@@ -234,8 +296,9 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     t0 = time.time()
     print(f"building problem: P={num_points} M={num_images} "
           f"N_obs={num_points * views}", file=sys.stderr)
-    problem, state0, spec = build_problem(num_points, num_images, views, dtype)
-    problem, state0, _ = engine.pad_problem(problem, state0)
+    problem, state0, spec = build_problem(num_points, num_images, views,
+                                          dtype, pad128=True)
+    problem, state0, _ = engine.pad_problem(problem, state0)  # no-op check
     fmp = engine.fm_problem(problem)
     G = 3 + spec.num_coefficients
     N = int(problem.obs_point.shape[0])
@@ -307,6 +370,7 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     damp = 1e-2
     t0 = time.time()
     n_f32 = 0
+    best, n_flat = float("inf"), 0
     for k in range(60):
         state, mdx, it = lm(state, damp)
         damp = 0.0 if damp < 1e-9 else damp * 0.2
@@ -314,7 +378,17 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         mdx = float(mdx)
         if damp == 0.0 and mdx < 1e-3:
             break
-    jax.block_until_ready(state)
+        # hand over to mixed-precision refinement once the f32 phase stops
+        # improving: its floor is set by f32 conditioning (exp_tpu6: every
+        # f32 variant lands on the same step error), and refinement
+        # contracts ~3x/it from wherever the floor is — more f32 its past
+        # the floor are pure waste
+        if mdx < 0.7 * best:
+            best, n_flat = mdx, 0
+        else:
+            n_flat += 1
+            if damp == 0.0 and n_flat >= 3:
+                break
     t_f32 = time.time() - t0
     print(f"f32 phase: {n_f32} its in {t_f32:.2f}s, max|dx|={mdx:.2e}",
           file=sys.stderr)
@@ -360,7 +434,9 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
     t1, st = _run_fixed(st, 2)
     t2, st = _run_fixed(st, 10)
-    dt = max((t2 - t1) / 8, 1e-9)
+    dt = (t2 - t1) / 8
+    if dt <= 0:
+        dt = t2 / 10
     key = "lm_it_per_s_fixed_cg8_pallas" if on_tpu else "lm_it_per_s_fixed_cg8"
     out[key] = round(1.0 / dt, 3)
     print(f"steady-state (cg=8 fixed{', pallas' if on_tpu else ''}): "
@@ -382,8 +458,13 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         bn_, bb_ = bigargs.split_big(b)
         mv_xla_ = jax.jit(lambda bbig, fbig, c, g: engine.schur_matvec(
             bigargs.merge(fmv, fn_, fbig), bigargs.merge(b, bn_, bbig), c, g))
-        dt_x, _ = _time(mv_xla_, 30, bb_, fb_, rc, rg,
-                        uniq=lambda k, a: (*a[:2], a[2] + k * 1e-30, a[3]))
+        def _mv_feed(o, a):
+            oc, og = o
+            sc = 1.0 / (jnp.sqrt(jnp.sum(oc * oc) + jnp.sum(og * og))
+                        + 1e-30)
+            return (*a[:-2], oc * sc, og * sc)
+
+        dt_x, _ = _time_chain(mv_xla_, 30, _mv_feed, bb_, fb_, rc, rg)
         out["matvec_xla_gflops"] = round(flops / dt_x / 1e9, 1)
         out["matvec_xla_gbps"] = round(fbytes / dt_x / 1e9, 1)
     else:
@@ -400,9 +481,8 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
             return kernels.make_matvec(pp_, ec, eg)(c, g)
 
         mv_pal_ = jax.jit(mv_pal_f)
-        dt_p, _ = _time(mv_pal_, 30, pp.packed, pp.obs_img, pp.hppinv,
-                        b.extra_c, b.extra_g, rc, rg,
-                        uniq=lambda k, a: (*a[:5], a[5] + k * 1e-30, a[6]))
+        dt_p, _ = _time_chain(mv_pal_, 30, _mv_feed, pp.packed, pp.obs_img,
+                              pp.hppinv, b.extra_c, b.extra_g, rc, rg)
         out["matvec_pallas_gflops"] = round(flops / dt_p / 1e9, 1)
         out["matvec_pallas_gbps"] = round(fbytes / dt_p / 1e9, 1)
     out["matvec_hbm_sol_fraction"] = round(
@@ -433,9 +513,10 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     Q = covf_(state)
     jax.block_until_ready(Q)
     compiles["cov_compile_s"] = round(time.time() - t0, 2)
-    dt_c, Q = _time(
-        covf_, 2, state,
-        uniq=lambda k, a: (a[0]._replace(points=a[0].points + k * 1e-30),))
+    dt_c, Q = _time_chain(
+        covf_, 2,
+        lambda o, a: (a[0]._replace(points=a[0].points + 1e-12 * o[:, :, 0]),),
+        state)
     out["cov_point_blocks_per_s"] = round(int(Q.shape[0]) / dt_c, 1)
     out["cov_all_points_s"] = round(dt_c, 3)
     print(f"covariance: ALL {int(Q.shape[0])} point blocks in {dt_c:.3f}s "
@@ -458,15 +539,16 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         chol_flops = n_fact ** 3 / 3
 
         xla_chol = jax.jit(jnp.linalg.cholesky)
-        dt_xc, _ = _time(xla_chol, 5, Sspd,
-                         uniq=lambda k, a: (a[0] + k * 1e-30,))
+        def _chol_feed(L, a):
+            return (Sspd + 1e-12 * (L + L.T),)
+
+        dt_xc, _ = _time_chain(xla_chol, 5, _chol_feed, Sspd)
         out["xla_cholesky_gflops"] = round(chol_flops / dt_xc / 1e9, 1)
 
         mesh = Mesh(np.array(jax.devices()[:1]), ("tp",))
         tp_chol = jax.jit(lambda S: tp.distributed_cholesky(
             S, mesh, block=256))
-        dt_tc, _ = _time(tp_chol, 5, Sspd,
-                         uniq=lambda k, a: (a[0] + k * 1e-30,))
+        dt_tc, _ = _time_chain(tp_chol, 5, _chol_feed, Sspd)
         out["tp_cholesky_gflops"] = round(chol_flops / dt_tc / 1e9, 1)
         out["tp_cholesky_n"] = n_fact
         print(f"cholesky n={n_fact}: xla {out['xla_cholesky_gflops']} "
@@ -559,8 +641,8 @@ def main():
         except Exception as exc:  # record instead of failing the bench
             out["config5_1m_points"] = {"error": str(exc)[:300]}
 
-    headline = out.get("lm_it_per_s_fixed_cg8_pallas",
-                       out["lm_it_per_s_fixed_cg8"])
+    headline = out.get("lm_it_per_s_fixed_cg8_pallas") \
+        or out.get("lm_it_per_s_fixed_cg8")
     result = {
         "metric": f"lm_iterations_per_s_{num_points}pts_{num_images}img"
                   f"_fixed_cg8",

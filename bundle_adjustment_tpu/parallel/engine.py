@@ -90,27 +90,35 @@ class FMBlocks(NamedTuple):
 
 
 def fm_problem(p: rcs.RCSProblem) -> FMProblem:
-    """Convert an RCSProblem (uniform point-major layout required)."""
+    """Convert an RCSProblem (uniform point-major layout required).
+
+    Every array field goes through jnp.asarray: an RCSProblem may carry
+    host numpy arrays (bench.build_problem's transfer discipline), and the
+    single device placement happens here."""
     if p.point_uniform is None:
         raise ValueError("engine requires the uniform point-major layout")
     if p.img_perm is None:
         raise ValueError("engine requires the blocked image layout")
     w = p.obs_weight
+
+    def j(a):
+        return None if a is None else jnp.asarray(a)
+
     return FMProblem(
-        obs_point=p.obs_point, obs_image=p.obs_image,
-        cam_of_image=p.cam_of_image,
+        obs_point=j(p.obs_point), obs_image=j(p.obs_image),
+        cam_of_image=j(p.cam_of_image),
         obs_x=jnp.asarray(p.obs_xy[:, 0]),
         obs_y=jnp.asarray(p.obs_xy[:, 1]),
         wxx=jnp.asarray(w[:, 0, 0]),
         wxy=jnp.asarray(w[:, 0, 1]),
         wyy=jnp.asarray(w[:, 1, 1]),
-        r0=p.r0, num_points=p.num_points, num_images=p.num_images,
+        r0=j(p.r0), num_points=p.num_points, num_images=p.num_images,
         views=p.point_uniform,
-        free_point=jnp.asarray(p.free_point.T),
-        free_eo=p.free_eo, free_global=p.free_global,
-        img_perm=p.img_perm, img_block_starts=p.img_block_starts,
-        dp_w=p.dp_w, dp_val=p.dp_val, de_w=p.de_w, de_val=p.de_val,
-        dg_w=p.dg_w, dg_val=p.dg_val,
+        free_point=jnp.asarray(p.free_point).T,
+        free_eo=j(p.free_eo), free_global=j(p.free_global),
+        img_perm=j(p.img_perm), img_block_starts=j(p.img_block_starts),
+        dp_w=j(p.dp_w), dp_val=j(p.dp_val), de_w=j(p.de_w),
+        de_val=j(p.de_val), dg_w=j(p.dg_w), dg_val=j(p.dg_val),
     )
 
 

@@ -51,10 +51,19 @@ class Refiner:
         r = Refiner(problem32, spec)
         s = hilo.from_f32(state32)          # after the plain f32 LM loop
         s, max_dx, omega0, it = r.step(s)   # repeat until max_dx <= tol
-    """
+
+    ``gradient_device="cpu"`` (default) runs the f64 gradient pass on the
+    CPU backend: XLA's f64 emulation on TPU inflates the HLO so much that
+    the fused refine program took 200+ s to compile at the 100k-point
+    scale (and its f64 closure constants defeat the persistent compile
+    cache); on CPU the pass compiles in seconds and f64 is native.  Only
+    the small (bp, bc, bg) gradient crosses the host boundary per
+    iteration.  Pass ``gradient_device=None`` to keep everything on the
+    accelerator (single fused program)."""
 
     def __init__(self, problem32: rcs.RCSProblem, spec,
-                 couple_global: bool = True, use_pallas: bool = False):
+                 couple_global: bool = True, use_pallas: bool = False,
+                 gradient_device: str | None = "cpu"):
         if not jax.config.jax_enable_x64:
             raise RuntimeError(
                 "mixed-precision refinement needs jax_enable_x64=True for "
@@ -76,7 +85,18 @@ class Refiner:
             self.fmp32 = engine.to_view_major(
                 self.fmp32, kernels.choose_pb(self.fmp32.num_points,
                                               self.fmp32.views))
-        self.fmp64 = engine.fm_problem(upcast_problem(problem32))
+        self._gdev = (jax.devices("cpu")[0]
+                      if gradient_device == "cpu" else None)
+        if self._gdev is not None:
+            with jax.default_device(self._gdev):
+                p_host = jax.tree.map(
+                    lambda x: jax.device_put(x, self._gdev)
+                    if hasattr(x, "dtype") else x, problem32)
+                self.fmp64 = engine.fm_problem(upcast_problem(p_host))
+        else:
+            self.fmp64 = engine.fm_problem(upcast_problem(problem32))
+        self._grad = jax.jit(
+            lambda st64: self.gradient64(self.fmp64, st64))
         self._step = jax.jit(self._step_impl, static_argnames=(
             "cg_tol", "cg_maxiter", "stall_limit"))
 
@@ -89,10 +109,9 @@ class Refiner:
             [b.Jc[a] * b.Pw[0] + b.Jc[6 + a] * b.Pw[1] for a in range(6)])
         return jnp.stack(b.bp, axis=1), bc, b.bg, b.omega0
 
-    def _step_impl(self, s: hilo.HiLoState, damping,
+    def _step_impl(self, s: hilo.HiLoState, damping, bp32, bc32, bg32,
                    cg_tol=1e-7, cg_maxiter=400, stall_limit=200):
         p32 = self.fmp32
-        fmp64 = self.fmp64
         if self.use_pallas:
             from . import kernels
 
@@ -103,10 +122,6 @@ class Refiner:
             b, _rc, _rg, Minv = engine.prepare(
                 p32, s.hi, self.spec, damping,
                 couple_global=self.couple_global, state_lo=s.lo)
-        bp64, bc64, bg64, omega0 = self.gradient64(fmp64, hilo.to_f64(s))
-        bp32 = bp64.astype(jnp.float32)
-        bc32 = bc64.astype(jnp.float32)
-        bg32 = bg64.astype(jnp.float32)
         ops = engine.point_ops(p32, b)
         z0 = ops.hinv(bp32)
         dc, dg = ops.hxp(z0)
@@ -126,13 +141,33 @@ class Refiner:
                              stall_limit=stall_limit)
         dxp = engine.back_substitute_points(p32, b, xc, xg)
         new_s, max_dx = hilo.apply_step(s, dxp, xc, xg)
-        return new_s, max_dx, omega0, it
+        return new_s, max_dx, it
+
+    def _gradient(self, s: hilo.HiLoState):
+        """f64 gradient on the chosen backend; returns f32 (bp, bc, bg)
+        placed on the default (compute) device + the f64 omega0."""
+        if self._gdev is not None:
+            # compute device = wherever the f32 problem lives (device_put
+            # with device=None would LEAVE the results cpu-committed and
+            # the solve program would lower for CPU)
+            cdev = next(iter(self.fmp32.obs_x.devices()))
+            s_g = jax.device_put(s, self._gdev)
+            with jax.default_device(self._gdev):
+                bp64, bc64, bg64, omega0 = self._grad(hilo.to_f64(s_g))
+                f32 = (bp64.astype(jnp.float32), bc64.astype(jnp.float32),
+                       bg64.astype(jnp.float32))
+            return tuple(jax.device_put(x, cdev) for x in f32) + (omega0,)
+        bp64, bc64, bg64, omega0 = self._grad(hilo.to_f64(s))
+        return (bp64.astype(jnp.float32), bc64.astype(jnp.float32),
+                bg64.astype(jnp.float32), omega0)
 
     def step(self, s: hilo.HiLoState, damping=1e-8,
              cg_tol=1e-7, cg_maxiter=400, stall_limit=200):
-        return self._step(s, jnp.asarray(damping, jnp.float32),
-                          cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-                          stall_limit=stall_limit)
+        bp32, bc32, bg32, omega0 = self._gradient(s)
+        new_s, max_dx, it = self._step(
+            s, jnp.asarray(damping, jnp.float32), bp32, bc32, bg32,
+            cg_tol=cg_tol, cg_maxiter=cg_maxiter, stall_limit=stall_limit)
+        return new_s, max_dx, omega0, it
 
     def refine(self, state32: ParamState, tolerance: float = 1e-6,
                max_iterations: int = 12, **kw):

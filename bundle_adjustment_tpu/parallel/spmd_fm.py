@@ -137,11 +137,12 @@ def make_spmd_fm_lm_step(problem: rcs.RCSProblem, state: ParamState,
                    points, img_perm, img_block_starts, io, dist, eo):
         p_loc = engine.FMProblem(
             obs_point=None, obs_image=obs_image,
-            cam_of_image=problem.cam_of_image,
+            cam_of_image=jnp.asarray(problem.cam_of_image),
             obs_x=obs_x, obs_y=obs_y, wxx=wxx, wxy=wxy, wyy=wyy,
-            r0=problem.r0, num_points=P_loc, num_images=M, views=V,
-            free_point=free_point.T, free_eo=problem.free_eo,
-            free_global=problem.free_global,
+            r0=jnp.asarray(problem.r0), num_points=P_loc, num_images=M,
+            views=V,
+            free_point=free_point.T, free_eo=jnp.asarray(problem.free_eo),
+            free_global=jnp.asarray(problem.free_global),
             img_perm=img_perm[0], img_block_starts=img_block_starts[0],
         )
         st = ParamState(points=points, io=io, dist=dist, eo=eo)
