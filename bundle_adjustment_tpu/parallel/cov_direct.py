@@ -33,6 +33,11 @@ import numpy as np
 
 from . import engine
 
+# TPU f32 matmuls default to one bf16xbf16 MXU pass, silently rounding both
+# operands to bf16 (~4e-3 relative): unacceptable for covariance / normal-
+# equation products.  All value x value contractions here pin full f32.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def _choose_chunk(P: int, target: int = 4096) -> int:
     """Largest chunk <= target dividing P (P is a multiple of 128 after
@@ -111,13 +116,13 @@ def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
     # global block ---------------------------------------------------------
     JgM = jnp.stack(b.Jg)
     PJgM = jnp.stack(b.PJg)
-    T2 = JgM @ PJgM.T
+    T2 = jnp.matmul(JgM, PJgM.T, precision=_PREC)
     Hgg = T2[:G2, :G2] + T2[G2:, G2:] + jnp.diag(b.extra_g)
 
     HpgP = _hpg_points(p, b)          # [P, 3, G]
     Hinv = _hinv3(b)                  # [P, 3, 3]
-    WpgP = jnp.einsum("pij,pjg->pig", Hinv, HpgP)
-    Sgg = Hgg - jnp.einsum("pig,pih->gh", HpgP, WpgP)
+    WpgP = jnp.einsum("pij,pjg->pig", Hinv, HpgP, precision=_PREC)
+    Sgg = Hgg - jnp.einsum("pig,pih->gh", HpgP, WpgP, precision=_PREC)
 
     # chunked camera-camera / camera-global corrections --------------------
     HpcM = _hpc_rows(b)               # [N, 3, 6]
@@ -134,13 +139,13 @@ def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
         D = jnp.zeros((chunk, 3, M, 6), dt).at[pl, :, im, :].add(hpc)
         D2 = D.reshape(chunk, 3, K)
         hin = jax.lax.dynamic_slice(Hinv, (i * chunk, 0, 0), (chunk, 3, 3))
-        B2 = jnp.einsum("cij,cjK->ciK", hin, D2)
+        B2 = jnp.einsum("cij,cjK->ciK", hin, D2, precision=_PREC)
         Df = D2.reshape(chunk * 3, K)
         Bf = B2.reshape(chunk * 3, K)
-        Acc = Acc + Df.T @ Bf
+        Acc = Acc + jnp.matmul(Df.T, Bf, precision=_PREC)
         wpg = jax.lax.dynamic_slice(
             WpgP, (i * chunk, 0, 0), (chunk, 3, G2)).reshape(chunk * 3, G2)
-        Acg = Acg + Df.T @ wpg
+        Acg = Acg + jnp.matmul(Df.T, wpg, precision=_PREC)
         return Acc, Acg
 
     Acc, Acg = jax.lax.fori_loop(
@@ -205,15 +210,15 @@ def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
     def one_chunk(ids):
         hin = Hinv[ids]                                   # [c, 3, 3]
         # E_v = (Hpc_v)^T Hppinv : the camera-row blocks of C_p  [c, V, 6, 3]
-        E = jnp.einsum("cvae,cab->cveb", Hpc_v[ids], hin)
-        Cg = jnp.einsum("cag,cab->cgb", HpgP[ids], hin)   # [c, G, 3]
+        E = jnp.einsum("cvae,cab->cveb", Hpc_v[ids], hin, precision=_PREC)
+        Cg = jnp.einsum("cag,cab->cgb", HpgP[ids], hin, precision=_PREC)   # [c, G, 3]
         im = img[ids]                                     # [c, V]
         Qb = Qcc[im[:, :, None], :, im[:, None, :], :]    # [c, V, V, 6, 6]
-        corr = jnp.einsum("cveb,cvwef,cwfd->cbd", E, Qb, E)
+        corr = jnp.einsum("cveb,cvwef,cwfd->cbd", E, Qb, E, precision=_PREC)
         Qg_v = Qcg[im]                                    # [c, V, 6, G]
-        cross = jnp.einsum("cveb,cveg,cgd->cbd", E, Qg_v, Cg)
+        cross = jnp.einsum("cveb,cveg,cgd->cbd", E, Qg_v, Cg, precision=_PREC)
         corr = corr + cross + cross.transpose(0, 2, 1)
-        corr = corr + jnp.einsum("cgb,gh,chd->cbd", Cg, Qgg, Cg)
+        corr = corr + jnp.einsum("cgb,gh,chd->cbd", Cg, Qgg, Cg, precision=_PREC)
         return hin + corr
 
     nch = k // chunk
@@ -262,15 +267,15 @@ def point_pair_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks,
 
     def side(ids):
         hin = Hinv[ids]
-        E = jnp.einsum("cvae,cab->cveb", HpcM[ids], hin)
-        Cg = jnp.einsum("cag,cab->cgb", HpgP[ids], hin)
+        E = jnp.einsum("cvae,cab->cveb", HpcM[ids], hin, precision=_PREC)
+        Cg = jnp.einsum("cag,cab->cgb", HpgP[ids], hin, precision=_PREC)
         return E, Cg, img[ids]
 
     Ep, Cgp, imp = side(ip)
     Eq, Cgq, imq = side(iq)
     Qb = Qcc[imp[:, :, None], :, imq[:, None, :], :]      # [c, V, V, 6, 6]
-    out = jnp.einsum("cveb,cvwef,cwfd->cbd", Ep, Qb, Eq)
-    out = out + jnp.einsum("cveb,cveg,cgd->cbd", Ep, Qcg[imp], Cgq)
-    out = out + jnp.einsum("cgb,cwfg,cwfd->cbd", Cgp, Qcg[imq], Eq)
-    out = out + jnp.einsum("cgb,gh,chd->cbd", Cgp, Qgg, Cgq)
+    out = jnp.einsum("cveb,cvwef,cwfd->cbd", Ep, Qb, Eq, precision=_PREC)
+    out = out + jnp.einsum("cveb,cveg,cgd->cbd", Ep, Qcg[imp], Cgq, precision=_PREC)
+    out = out + jnp.einsum("cgb,cwfg,cwfd->cbd", Cgp, Qcg[imq], Eq, precision=_PREC)
+    out = out + jnp.einsum("cgb,gh,chd->cbd", Cgp, Qgg, Cgq, precision=_PREC)
     return out

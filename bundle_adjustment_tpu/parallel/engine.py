@@ -33,6 +33,11 @@ import numpy as np
 from ..models.problem import ParamState
 from . import rcs
 
+# TPU f32 matmuls default to one bf16xbf16 MXU pass, silently rounding both
+# operands to bf16 (~4e-3 relative): unacceptable for covariance / normal-
+# equation products.  All value x value contractions here pin full f32.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 class FMProblem(NamedTuple):
     """Feature-major problem arrays (static per adjustment)."""
@@ -315,10 +320,14 @@ def _hinv_apply(H, a0, a1, a2):
 
 def linearize(p: FMProblem, state: ParamState, spec, damping,
               state_lo: ParamState | None = None,
-              axis: str | None = None) -> FMBlocks:
+              axis: str | None = None, cam_gather=None) -> FMBlocks:
     """``axis``: shard_map axis name when the point-major axis is sharded
     across devices — cross-shard (image/global/scalar) reductions are psum-ed;
-    per-point quantities stay shard-local."""
+    per-point quantities stay shard-local.
+
+    ``cam_gather``: optional fn(tbl [M, c<=8]) -> [8, N] replacing the
+    per-row XLA [N]<-[M] gathers (kernels.make_cam_gather — each XLA gather
+    costs ~5 ms at 1.2M obs on v5e; the whole linearize has 12-15)."""
     from ..ops import fm
 
     def _ps(x):
@@ -331,13 +340,22 @@ def linearize(p: FMProblem, state: ParamState, spec, damping,
     Z = _point_expand(p, pts[:, 2])
 
     eo = state.eo
-    eog = [eo[:, a][p.obs_image] for a in range(6)]
+    if cam_gather is not None:
+        eog_rows = cam_gather(eo)
+        eog = [eog_rows[a] for a in range(6)]
+    else:
+        eog = [eo[:, a][p.obs_image] for a in range(6)]
 
     # hi/lo compensation of the projection differences (ops/fm.project_rows)
     lo = None
     if state_lo is not None:
         lo = tuple(_point_expand(p, state_lo.points[:, a]) for a in range(3))
-        lo = lo + tuple(state_lo.eo[:, a][p.obs_image] for a in range(3))
+        if cam_gather is not None:
+            lo_rows = cam_gather(state_lo.eo[:, :3])
+            lo = lo + tuple(lo_rows[a] for a in range(3))
+        else:
+            lo = lo + tuple(state_lo.eo[:, a][p.obs_image]
+                            for a in range(3))
 
     C = state.io.shape[0]
     K = state.dist.shape[1]
@@ -361,7 +379,11 @@ def linearize(p: FMProblem, state: ParamState, spec, damping,
 
     # fixed-parameter masks (column == -2 protocol of the dense layout)
     fp = [_point_expand(p, p.free_point[a]) for a in range(3)]
-    fe = [p.free_eo[:, a][p.obs_image] for a in range(6)]
+    if cam_gather is not None:
+        fe_rows = cam_gather(p.free_eo)
+        fe = [fe_rows[a] for a in range(6)]
+    else:
+        fe = [p.free_eo[:, a][p.obs_image] for a in range(6)]
 
     Jp = tuple(rows_x[a] * fp[a] for a in range(3)) \
         + tuple(rows_y[a] * fp[a] for a in range(3))
@@ -458,14 +480,17 @@ def linearize(p: FMProblem, state: ParamState, spec, damping,
 # reduced system
 # ---------------------------------------------------------------------------
 
-def _cam_gather(p: FMProblem, xc):
+def _cam_gather(p: FMProblem, xc, cam_gather=None):
     """xc [M, 6] -> 6 rows [N]."""
+    if cam_gather is not None:
+        rows = cam_gather(xc)
+        return [rows[a] for a in range(6)]
     return [xc[:, a][p.obs_image] for a in range(6)]
 
 
-def _t_rows(p: FMProblem, b: FMBlocks, xc, xg):
+def _t_rows(p: FMProblem, b: FMBlocks, xc, xg, cam_gather=None):
     """t = P (Jc xc + Jg xg) per observation: 2 rows [N]."""
-    xcg = _cam_gather(p, xc)
+    xcg = _cam_gather(p, xc, cam_gather)
     G2 = len(b.Jg) // 2
     t = []
     for i in (0, 1):
@@ -612,10 +637,10 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     # global block pieces: Sgg = Hgg - Hgp Hpp^{-1} Hpg via MXU matmuls
     JgM = jnp.stack(b.Jg)          # [2G, N]
     PJgM = jnp.stack(b.PJg)        # [2G, N]
-    T2 = _ps(JgM @ PJgM.T)         # [2G, 2G]
+    T2 = _ps(jnp.matmul(JgM, PJgM.T, precision=_PREC))  # [2G, 2G]
     HpgM = jnp.stack([hpg[a][g] for a in range(3) for g in range(G2)])
     WM = jnp.stack([W[g][a] for a in range(3) for g in range(G2)])
-    T3 = _ps(WM @ HpgM.T)  # [(3G), (3G)] with row index a*G+g
+    T3 = _ps(jnp.matmul(WM, HpgM.T, precision=_PREC))  # [(3G), (3G)]
     return finish_reduction(p, b, state, damping, red, rg_corr, T2, T3,
                             couple_global, axis=axis, cam_scatter=cam_scatter)
 
@@ -676,9 +701,10 @@ def finish_reduction(p: FMProblem, b: FMBlocks, state: ParamState, damping,
     return b, rc, rg, Minv
 
 
-def back_substitute_points(p: FMProblem, b: FMBlocks, xc, xg):
+def back_substitute_points(p: FMProblem, b: FMBlocks, xc, xg,
+                           cam_gather=None):
     """dx_p = Hpp^{-1} (bp - Hpx x): returns [P, 3]."""
-    t = _t_rows(p, b, xc, xg)
+    t = _t_rows(p, b, xc, xg, cam_gather)
     y = [_point_sum(p, b.Jp[a] * t[0] + b.Jp[3 + a] * t[1]) for a in range(3)]
     dx = _hinv_apply(b.Hpp_inv, b.bp[0] - y[0], b.bp[1] - y[1],
                      b.bp[2] - y[2])
@@ -819,12 +845,14 @@ def lm_step(p: FMProblem, state: ParamState, spec, damping,
     extra feature rows in one pass — see prepare).
     ``cg_tol``/``cg_maxiter``/``stall_limit`` may be traced values — one
     compiled program can serve phases with different CG budgets."""
+    cgf = None
     if use_pallas:
         from . import kernels
 
+        cgf = kernels.make_cam_gather(p)
         b, rc, rg, Minv, pp = kernels.prepare_pallas(
             p, state, spec, damping, couple_global=couple_global,
-            pb=pallas_pb, state_lo=state_lo)
+            pb=pallas_pb, state_lo=state_lo, cam_gather=cgf)
         # barrier only the array fields (PackedFM carries static ints)
         b, rc, rg, Minv, arrs = jax.lax.optimization_barrier(
             (b, rc, rg, Minv, (pp.packed, pp.obs_img, pp.hppinv)))
@@ -841,5 +869,5 @@ def lm_step(p: FMProblem, state: ParamState, spec, damping,
     xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
                          maxiter=cg_maxiter, matvec=matvec,
                          stall_limit=stall_limit)
-    dxp = back_substitute_points(p, b, xc, xg)
+    dxp = back_substitute_points(p, b, xc, xg, cam_gather=cgf)
     return dxp, xc, xg, b, it

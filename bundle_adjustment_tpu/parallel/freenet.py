@@ -45,6 +45,10 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+# TPU f32 matmuls default to a single bf16 MXU pass; the big over-points
+# contractions here pin full f32 precision.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 class PointOps(NamedTuple):
     """Layout-agnostic operations on the linearised problem.
@@ -196,7 +200,8 @@ def prepare_extras(problem, state, bp, rc, rg, ops: PointOps, omega0):
         Brows = datum_rows_dense(state.points, p.datum_mask_d, flags)
         Vb = jax.vmap(ops.hinv)(Brows)                      # [d, P, 3]
         Ybc, Ybg = jax.vmap(ops.hxp)(Vb)                    # [d, M, 6], [d, G]
-        BB = jnp.einsum("kpa,qpa->kq", Brows, Vb)           # B Hpp^{-1} B^T
+        BB = jnp.einsum("kpa,qpa->kq", Brows, Vb,
+                        precision=_PREC)                    # B Hpp^{-1} B^T
 
         if has_bars:
             # Xub[r, k] = U_r Hpp^{-1} B_k^T
@@ -232,7 +237,7 @@ def prepare_extras(problem, state, bp, rc, rg, ops: PointOps, omega0):
     if d > 0:
         if z0f is None:
             z0f = ops.hinv(bp_full)
-        r_lam = jnp.einsum("kpa,pa->k", Brows, z0f)
+        r_lam = jnp.einsum("kpa,pa->k", Brows, z0f, precision=_PREC)
         if has_bars:
             r_lam = r_lam - Xub.T @ (Cap_inv @ hb)
         br = Bb_inv @ r_lam

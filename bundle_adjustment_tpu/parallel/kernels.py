@@ -37,6 +37,39 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# MXU matmul precision: TPU f32 dots default to ONE bf16xbf16 pass, which
+# silently rounds BOTH operands to bf16 (~4e-3 relative) — measured as a
+# 10x f32-convergence-floor regression.  Value x value products use
+# Precision.HIGHEST (6 bf16 passes; Mosaic has no HIGH).  Products against
+# the EXACT-in-bf16 one-hot / ones matrices use `_dot_oh`: a manual
+# 3-chunk split of the value operand — exact f32 in 3 native bf16 passes.
+P_VALUE = jax.lax.Precision.HIGHEST
+
+
+def _dot_oh(v, oh_bf16, contract_last=False):
+    """f32-exact product of f32 ``v`` with an exact-in-bf16 0/1 matrix.
+
+    v [r, K] @ oh [K, nb] (or, with ``contract_last``, v [r, nb] (x)
+    oh [H, nb] contracting nb).  The value operand is split into three
+    bf16 chunks v = v1 + v2 + v3 + O(2^-27 |v|); each chunk multiplies the
+    exact one-hot on the native bf16 MXU path with f32 accumulation."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    v1 = v.astype(bf)
+    r1 = v - v1.astype(f32)
+    v2 = r1.astype(bf)
+    v3 = (r1 - v2.astype(f32)).astype(bf)
+    if contract_last:
+        dn = (((1,), (1,)), ((), ()))
+
+        def d(a):
+            return jax.lax.dot_general(a, oh_bf16, dn,
+                                       preferred_element_type=f32)
+    else:
+        def d(a):
+            return jnp.dot(a, oh_bf16, preferred_element_type=f32)
+    return d(v1) + d(v2) + d(v3)
+
 
 class PackedFM(NamedTuple):
     packed: jnp.ndarray   # [F_pad, N] f32 rows (layout below), view-major
@@ -165,6 +198,71 @@ def _hinv_rows(h, a0, a1, a2):
 
 
 # ---------------------------------------------------------------------------
+# camera-row gather kernel
+# ---------------------------------------------------------------------------
+
+def _gather_kernel(tT_ref, img_ref, out_ref, *, H, W, nb):
+    f32 = jnp.float32
+    img = img_ref[:]
+    onehot_hi, lo_mask = _two_level_onehot(img, H, W, nb)
+    T1 = jnp.dot(tT_ref[:], onehot_hi, preferred_element_type=f32,
+                 precision=P_ONEHOT)  # [8W, NB]
+    if W == 1:
+        out_ref[:] = T1
+    else:
+        out_ref[:] = sum(T1[w * 8:w * 8 + 8] * lo_mask[w]
+                         for w in range(W))
+
+
+def make_cam_gather(p, h: int | None = None, interpret: bool = False):
+    """Row gather ``out[c, n] = tbl[obs_image[n], c]`` for up to 8 columns,
+    as one Pallas pass (two-level one-hot, view-major blocks).
+
+    XLA lowers each [N]<-[M] gather to ~5 ms at N = 1.2M on v5e (measured,
+    tools/exp_tpu7.py: the 12 gathers of engine.linearize are 59 ms of the
+    131 ms LM step); this kernel streams all 8 rows in ~0.3 ms.  ``p`` is a
+    view-major FMProblem; returns fn(tbl [M, c<=8]) -> [8, N] f32 (rows c..
+    are zero)."""
+    if p.vm_pb is None:
+        raise ValueError("make_cam_gather requires the view-major layout")
+    P, V, M = p.num_points, p.views, p.num_images
+    pb = p.vm_pb
+    nb = pb * V
+    m_pad = max(128, -(-M // 128) * 128)
+    H = choose_h(m_pad, row_cost=2.0) if h is None else h
+    W = m_pad // H
+    w8 = 8 * W
+    grid = (P // pb,)
+    obs_img = p.obs_image.reshape(1, -1).astype(jnp.int32)
+
+    kernel = functools.partial(_gather_kernel, H=H, W=W, nb=nb)
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((w8, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, nb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, P * V), jnp.float32),
+        interpret=interpret,
+    )
+
+    def gather(tbl):
+        c = tbl.shape[1]
+        tbl_pad = jnp.zeros((m_pad, 8), jnp.float32).at[:M, :c].set(
+            tbl.astype(jnp.float32))
+        tT = tbl_pad.reshape(H, W, 8).transpose(1, 2, 0).reshape(w8, H)
+        with jax.enable_x64(False):
+            return call(tT, obs_img)
+
+    return gather
+
+
+# ---------------------------------------------------------------------------
 # matvec kernel
 # ---------------------------------------------------------------------------
 
@@ -180,7 +278,8 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
 
     # gather xcr[a, n] = xc[img[n], a] via the factored one-hot
     xcT = xcT_ref[:]                                    # [8W, H]
-    T1 = jnp.dot(xcT, onehot_hi, preferred_element_type=f32)  # [8W, NB]
+    T1 = jnp.dot(xcT, onehot_hi, preferred_element_type=f32,
+                 precision=P_ONEHOT)  # [8W, NB]
     if W == 1:
         xcr = T1
     else:
@@ -192,9 +291,10 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
     t0 = jnp.sum(pk[pjc:pjc + 6] * xcr[:6], axis=0, keepdims=True)
     t1 = jnp.sum(pk[pjc + 6:pjc + 12] * xcr[:6], axis=0, keepdims=True)
     xg_row = xg[0:1, :g]                                # [1, G]
-    t0 = t0 + jnp.dot(xg_row, pk[pjg:pjg + g], preferred_element_type=f32)
+    t0 = t0 + jnp.dot(xg_row, pk[pjg:pjg + g], preferred_element_type=f32,
+                      precision=P_VALUE)
     t1 = t1 + jnp.dot(xg_row, pk[pjg + g:pjg + 2 * g],
-                      preferred_element_type=f32)
+                      preferred_element_type=f32, precision=P_VALUE)
 
     jp, pjp = off["Jp"], off["PJp"]
     jt = pk[jp:jp + 3] * t0 + pk[jp + 3:jp + 6] * t1        # [3, NB]
@@ -214,18 +314,19 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
     if W == 1:
         contrib_c = jax.lax.dot_general(
             qc8, onehot_hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                      # [8, H]
+            preferred_element_type=f32, precision=P_ONEHOT)  # [8, H]
     else:
         B = jnp.concatenate([qc8 * lo_mask[w] for w in range(W)], axis=0)
         contrib_c = jax.lax.dot_general(
             B, onehot_hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                      # [8W, H]
+            preferred_element_type=f32, precision=P_ONEHOT)  # [8W, H]
 
     qg = pk[jg:jg + g] * tv0 + pk[jg + g:jg + 2 * g] * tv1  # [G, NB]
     g_pad8 = outg_ref.shape[0]
     qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
     ones = jnp.ones((nb, 8), f32)
-    contrib_g = jnp.dot(qg, ones, preferred_element_type=f32)  # [G_pad8, 8]
+    contrib_g = jnp.dot(qg, ones, preferred_element_type=f32,
+                        precision=P_ONEHOT)                  # [G_pad8, 8]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -405,12 +506,12 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
     if W == 1:
         red_ref[:] += jax.lax.dot_general(
             feat, onehot_hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32, precision=P_ONEHOT)
     else:
         for w in range(W):
             contrib = jax.lax.dot_general(
                 feat * lo_mask[w], onehot_hi, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                  # [F99p, H]
+                preferred_element_type=f32, precision=P_ONEHOT)  # [F99p, H]
             red_ref[:, w * H:(w + 1) * H] += contrib
 
     # global rhs correction rows: sum_n Jg u0
@@ -418,7 +519,7 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
     g_pad8 = rgq_ref.shape[0]
     qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
     rgq_ref[:] += jnp.dot(qg, jnp.ones((nb, 8), f32),
-                          preferred_element_type=f32)
+                          preferred_element_type=f32, precision=P_ONEHOT)
 
     # T2 = Jg @ PJg^T over this block's lanes
     A2 = jnp.concatenate(
@@ -426,7 +527,8 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
     B2 = jnp.concatenate(
         [pk[pjg:pjg + 2 * g], jnp.zeros((t2_pad - 2 * g, nb), f32)])
     t2_ref[:] += jax.lax.dot_general(
-        A2, B2, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        A2, B2, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        precision=P_VALUE)
 
     # T3 = W @ Hpg^T over this block's points
     A3 = jnp.concatenate(
@@ -434,7 +536,8 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
     B3 = jnp.concatenate(
         [hpg_blk, jnp.zeros((t3_pad - 3 * g, pb), f32)])
     t3_ref[:] += jax.lax.dot_general(
-        A3, B3, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        A3, B3, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+        precision=P_VALUE)
 
 
 def make_prepare_reduction(pp: PackedFM, h: int | None = None,
@@ -504,7 +607,7 @@ def make_prepare_reduction(pp: PackedFM, h: int | None = None,
 
 def prepare_pallas(p, state, spec, damping, couple_global: bool = True,
                    pb: int | None = None, interpret: bool = False,
-                   state_lo=None):
+                   state_lo=None, cam_gather=None):
     """Drop-in replacement for engine.prepare on the TPU f32 path: linearise
     (XLA), pack once, run the fused assembly kernel, finish in XLA.  Returns
     (blocks, rc, rg, Precond, PackedFM) — the PackedFM is reusable by
@@ -512,7 +615,8 @@ def prepare_pallas(p, state, spec, damping, couple_global: bool = True,
     view-major (engine.to_view_major)."""
     from . import engine
 
-    b = engine.linearize(p, state, spec, damping, state_lo=state_lo)
+    b = engine.linearize(p, state, spec, damping, state_lo=state_lo,
+                         cam_gather=cam_gather)
     pp = pack_fm(b, p, with_pw=True)
     red, rg_corr, T2, T3 = make_prepare_reduction(pp, interpret=interpret)()
     out = engine.finish_reduction(p, b, state, damping, red, rg_corr,

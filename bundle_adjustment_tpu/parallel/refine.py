@@ -78,6 +78,7 @@ class Refiner:
         self.couple_global = couple_global
         self.use_pallas = use_pallas
         self.fmp32 = engine.fm_problem(problem32)
+        self._cam_gather = None
         if use_pallas:
             # the Pallas kernels consume the view-major blocked lane order
             from . import kernels
@@ -85,6 +86,7 @@ class Refiner:
             self.fmp32 = engine.to_view_major(
                 self.fmp32, kernels.choose_pb(self.fmp32.num_points,
                                               self.fmp32.views))
+            self._cam_gather = kernels.make_cam_gather(self.fmp32)
         self._gdev = (jax.devices("cpu")[0]
                       if gradient_device == "cpu" else None)
         if self._gdev is not None:
@@ -117,7 +119,8 @@ class Refiner:
 
             b, _rc, _rg, Minv, pp = kernels.prepare_pallas(
                 p32, s.hi, self.spec, damping,
-                couple_global=self.couple_global, state_lo=s.lo)
+                couple_global=self.couple_global, state_lo=s.lo,
+                cam_gather=self._cam_gather)
         else:
             b, _rc, _rg, Minv = engine.prepare(
                 p32, s.hi, self.spec, damping,
@@ -139,7 +142,8 @@ class Refiner:
         xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
                              maxiter=cg_maxiter, matvec=matvec,
                              stall_limit=stall_limit)
-        dxp = engine.back_substitute_points(p32, b, xc, xg)
+        dxp = engine.back_substitute_points(p32, b, xc, xg,
+                                            cam_gather=self._cam_gather)
         new_s, max_dx = hilo.apply_step(s, dxp, xc, xg)
         return new_s, max_dx, it
 

@@ -43,6 +43,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import rcs
 
+# TPU f32 matmuls default to one bf16xbf16 MXU pass, silently rounding both
+# operands to bf16 (~4e-3 relative): unacceptable for covariance / normal-
+# equation products.  All value x value contractions here pin full f32.
+_PREC = jax.lax.Precision.HIGHEST
+
 AXIS = "tp"
 
 
@@ -175,7 +180,7 @@ def _chol_local(A, bs, axis):
         # local [n_loc, bs] @ [bs, n] matmul masked to trailing columns
         Wfull = jax.lax.all_gather(Wb, axis, axis=0, tiled=True)  # [n, bs]
         colmask = (cols >= g0 + bs).astype(A.dtype)
-        A = A - (Wb @ Wfull.T) * colmask[None, :]
+        A = A - jnp.matmul(Wb, Wfull.T, precision=_PREC) * colmask[None, :]
         return jax.lax.dynamic_update_slice(A, panel_new, _i32(0, g0))
 
     return jax.lax.fori_loop(0, nb, body, A)
@@ -198,7 +203,8 @@ def _solve_local(L, r, bs, axis):
         Rk = _block_row(L, row0, n_loc, g0, bs, axis)
         Lkk = jax.lax.dynamic_slice(Rk, _i32(0, g0), (bs, bs))
         rk = jax.lax.dynamic_slice(r, _i32(g0, 0), (bs, nrhs))
-        acc = Rk @ jnp.where(cols[:, None] < g0, y, 0.0)
+        acc = jnp.matmul(Rk, jnp.where(cols[:, None] < g0, y, 0.0),
+                         precision=_PREC)
         yk = jax.lax.linalg.triangular_solve(
             Lkk, rk - acc, left_side=True, lower=True)
         return jax.lax.dynamic_update_slice(y, yk, _i32(g0, 0))
@@ -214,7 +220,8 @@ def _solve_local(L, r, bs, axis):
         Pan = jax.lax.dynamic_slice(L, _i32(0, g0), (n_loc, bs))
         xloc = jax.lax.dynamic_slice(x, _i32(row0, 0), (n_loc, nrhs))
         mask = (rows >= g0 + bs).astype(L.dtype)
-        c = jax.lax.psum(Pan.T @ (xloc * mask[:, None]), axis)
+        c = jax.lax.psum(jnp.matmul(Pan.T, xloc * mask[:, None],
+                                    precision=_PREC), axis)
         yk = jax.lax.dynamic_slice(y, _i32(g0, 0), (bs, nrhs))
         xk = jax.lax.linalg.triangular_solve(
             Lkk, yk - c, left_side=True, lower=True, transpose_a=True)

@@ -304,3 +304,24 @@ def test_zernike_solver_convergence():
             + np.sum(np.asarray(problem.free_eo)) + np.sum(fg))
     expected = (n_rows - u) * (5e-4) ** 2
     assert abs(res.omega / expected - 1.0) < 0.2
+
+
+def test_cam_gather_kernel_interpret():
+    """kernels.make_cam_gather vs plain XLA row gathers (interpret mode),
+    both W == 1 and the factored W > 1 path."""
+    import bench as B
+    from bundle_adjustment_tpu.parallel import kernels
+
+    for M, h in ((24, None), (130, 128)):
+        problem, state, spec = B.build_problem(256, M, 8, jnp.float64,
+                                               seed=9)
+        p = engine.fm_problem(problem)
+        pv = engine.to_view_major(p, 128)
+        g = kernels.make_cam_gather(pv, h=h, interpret=True)
+        rng = np.random.default_rng(3)
+        tbl = jnp.asarray(rng.normal(size=(M, 6)), jnp.float32)
+        rows = g(tbl)
+        ref = tbl[pv.obs_image]  # [N, 6]
+        np.testing.assert_allclose(np.asarray(rows[:6]).T, np.asarray(ref),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(rows[6:]), 0.0)
