@@ -529,13 +529,27 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
     t0 = time.time()
 
-    def cov_all(st):
+    # three staged programs instead of one: the one-shot jit holds the
+    # linearisation (~4 GB at 12M obs), S, and the inverse's u x u
+    # temporaries at once — RESOURCE_EXHAUSTED at u = 30k (config 5).
+    # Staging + donation caps the peak at (blocks + S) | (L + Q) |
+    # (blocks + Q); only ~25 ms dispatch overhead per stage.
+    def stage_S(st):
         bl = engine.linearize(fmp, st, spec, jnp.asarray(0.0, dtype))
-        S = cov_direct.assemble_reduced_dense(fmp, bl)
-        Qred = cov_direct.reduced_inverse(S)
+        return cov_direct.assemble_reduced_dense(fmp, bl)
+
+    stage_S_ = jax.jit(stage_S)
+    inv_ = jax.jit(cov_direct.reduced_inverse, donate_argnums=0)
+
+    def stage_Q(st, Qred):
+        bl = engine.linearize(fmp, st, spec, jnp.asarray(0.0, dtype))
         return cov_direct.point_covariance_dense(fmp, bl, Qred)
 
-    covf_ = jax.jit(cov_all)
+    stage_Q_ = jax.jit(stage_Q, donate_argnums=1)
+
+    def covf_(st):
+        Qred = inv_(stage_S_(st))
+        return stage_Q_(st, Qred)
     Q = covf_(state)
     jax.block_until_ready(Q)
     compiles["cov_compile_s"] = round(time.time() - t0, 2)
@@ -672,8 +686,8 @@ def main():
             # keep whatever phases completed (the last provisional emit)
             out["config5_1m_points"] = {**last5, "error": str(exc)[:300]}
 
-    headline = out.get("lm_it_per_s_fixed_cg8_pallas") \
-        or out.get("lm_it_per_s_fixed_cg8")
+    h = out.get("lm_it_per_s_fixed_cg8_pallas")
+    headline = h if h is not None else out.get("lm_it_per_s_fixed_cg8")
     result = {
         "metric": f"lm_iterations_per_s_{num_points}pts_{num_images}img"
                   f"_fixed_cg8",

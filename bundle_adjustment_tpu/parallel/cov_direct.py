@@ -91,7 +91,10 @@ def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
     K = 6 * M
     dt = b.Jp[0].dtype
     if chunk is None:
-        chunk = _choose_chunk(P_)
+        # the loop body holds two [chunk*3, K] slabs (D, B) plus the Acc
+        # accumulator; bound the slabs to ~300 MB so M = 5000 stays viable
+        target = max(128, int(3.0e8 / (24 * K)))
+        chunk = _choose_chunk(P_, min(4096, target))
 
     # per-image full blocks ------------------------------------------------
     iu = np.triu_indices(6)
@@ -165,14 +168,46 @@ def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
     return S
 
 
-def reduced_inverse(S):
+def reduced_inverse(S, panel: int | None = None):
     """S^{-1} via Cholesky (SPD; the reduced system of a datum-fixed or
-    directly-observed network is SPD — survey F12 REDUCED semantics)."""
+    directly-observed network is SPD — survey F12 REDUCED semantics).
+
+    For u beyond ``panel`` the identity right-hand side is streamed in
+    column panels: peak extra memory is L + Q + one [u, panel] slab
+    instead of the 4 u x u temporaries of the one-shot formulation
+    (which RESOURCE_EXHAUSTEDs at u = 30k on a 16 GB chip alongside a
+    1M-point problem)."""
+    u = S.shape[0]
     L = jnp.linalg.cholesky(S)
-    eye = jnp.eye(S.shape[0], dtype=S.dtype)
-    Y = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
-    return jax.lax.linalg.triangular_solve(
-        L, Y, left_side=True, lower=True, transpose_a=True)
+    if panel is None:
+        panel = u if u <= 4096 else 4096
+    if panel >= u:
+        eye = jnp.eye(u, dtype=S.dtype)
+        Y = jax.lax.linalg.triangular_solve(L, eye, left_side=True,
+                                            lower=True)
+        return jax.lax.linalg.triangular_solve(
+            L, Y, left_side=True, lower=True, transpose_a=True)
+    u_pad = -(-u // panel) * panel
+    if u_pad > u:
+        # pad L with an identity tail so the padded system stays SPD
+        Lp = jnp.zeros((u_pad, u_pad), S.dtype)
+        Lp = Lp.at[:u, :u].set(L)
+        Lp = Lp.at[jnp.arange(u, u_pad), jnp.arange(u, u_pad)].set(1.0)
+        L = Lp
+    rows = jax.lax.broadcasted_iota(jnp.int32, (u_pad, panel), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (u_pad, panel), 1)
+
+    def body(i, Q):
+        E = (rows == cols + i * panel).astype(S.dtype)
+        Y = jax.lax.linalg.triangular_solve(L, E, left_side=True,
+                                            lower=True)
+        Qp = jax.lax.linalg.triangular_solve(
+            L, Y, left_side=True, lower=True, transpose_a=True)
+        return jax.lax.dynamic_update_slice(Q, Qp, (0, i * panel))
+
+    Q = jax.lax.fori_loop(0, u_pad // panel, body,
+                          jnp.zeros((u_pad, u_pad), S.dtype))
+    return Q[:u, :u]
 
 
 def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,

@@ -163,16 +163,18 @@ def choose_pb(P: int, V: int, target_nb: int = 4096) -> int:
 # ---------------------------------------------------------------------------
 
 def _two_level_onehot(img, H, W, nb):
-    """Returns (onehot_hi [H, nb] f32, lo_mask: W x [1, nb] f32)."""
+    """Returns (onehot_hi [H, nb] bf16 — 0/1 is exact in bf16, consumed only
+    by `_dot_oh` products — and lo_mask: W x [1, nb] f32 for VPU masking)."""
     f32 = jnp.float32
+    bf = jnp.bfloat16
     if W == 1:
         iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, nb), 0)
-        return (iota_h == img).astype(f32), None
+        return (iota_h == img).astype(bf), None
     w32 = jnp.int32(W)
     img_hi = jax.lax.div(img, w32)
     img_lo = img - img_hi * w32
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (H, nb), 0)
-    onehot_hi = (iota_h == img_hi).astype(f32)
+    onehot_hi = (iota_h == img_hi).astype(bf)
     lo_mask = [(img_lo == w).astype(f32) for w in range(W)]
     return onehot_hi, lo_mask
 
@@ -202,11 +204,9 @@ def _hinv_rows(h, a0, a1, a2):
 # ---------------------------------------------------------------------------
 
 def _gather_kernel(tT_ref, img_ref, out_ref, *, H, W, nb):
-    f32 = jnp.float32
     img = img_ref[:]
     onehot_hi, lo_mask = _two_level_onehot(img, H, W, nb)
-    T1 = jnp.dot(tT_ref[:], onehot_hi, preferred_element_type=f32,
-                 precision=P_ONEHOT)  # [8W, NB]
+    T1 = _dot_oh(tT_ref[:], onehot_hi)  # [8W, NB]
     if W == 1:
         out_ref[:] = T1
     else:
@@ -278,8 +278,7 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
 
     # gather xcr[a, n] = xc[img[n], a] via the factored one-hot
     xcT = xcT_ref[:]                                    # [8W, H]
-    T1 = jnp.dot(xcT, onehot_hi, preferred_element_type=f32,
-                 precision=P_ONEHOT)  # [8W, NB]
+    T1 = _dot_oh(xcT, onehot_hi)                        # [8W, NB]
     if W == 1:
         xcr = T1
     else:
@@ -312,21 +311,16 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
     qc8 = jnp.concatenate([qc, jnp.zeros((2, nb), f32)], axis=0)
     # scatter: out column m' = w*H + h (w-major; unscrambled on the host)
     if W == 1:
-        contrib_c = jax.lax.dot_general(
-            qc8, onehot_hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=P_ONEHOT)  # [8, H]
+        contrib_c = _dot_oh(qc8, onehot_hi, contract_last=True)  # [8, H]
     else:
         B = jnp.concatenate([qc8 * lo_mask[w] for w in range(W)], axis=0)
-        contrib_c = jax.lax.dot_general(
-            B, onehot_hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=P_ONEHOT)  # [8W, H]
+        contrib_c = _dot_oh(B, onehot_hi, contract_last=True)    # [8W, H]
 
     qg = pk[jg:jg + g] * tv0 + pk[jg + g:jg + 2 * g] * tv1  # [G, NB]
     g_pad8 = outg_ref.shape[0]
     qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
-    ones = jnp.ones((nb, 8), f32)
-    contrib_g = jnp.dot(qg, ones, preferred_element_type=f32,
-                        precision=P_ONEHOT)                  # [G_pad8, 8]
+    ones = jnp.ones((nb, 8), jnp.bfloat16)
+    contrib_g = _dot_oh(qg, ones)                            # [G_pad8, 8]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -504,22 +498,18 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
 
     # two-level scatter: red[:, w*H:(w+1)*H] += (feat * lo_w) @ onehot_hi^T
     if W == 1:
-        red_ref[:] += jax.lax.dot_general(
-            feat, onehot_hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=P_ONEHOT)
+        red_ref[:] += _dot_oh(feat, onehot_hi, contract_last=True)
     else:
         for w in range(W):
-            contrib = jax.lax.dot_general(
-                feat * lo_mask[w], onehot_hi, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32, precision=P_ONEHOT)  # [F99p, H]
+            contrib = _dot_oh(feat * lo_mask[w], onehot_hi,
+                              contract_last=True)            # [F99p, H]
             red_ref[:, w * H:(w + 1) * H] += contrib
 
     # global rhs correction rows: sum_n Jg u0
     qg = pk[jg:jg + g] * u0 + pk[jg + g:jg + 2 * g] * u1     # [G, NB]
     g_pad8 = rgq_ref.shape[0]
     qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
-    rgq_ref[:] += jnp.dot(qg, jnp.ones((nb, 8), f32),
-                          preferred_element_type=f32, precision=P_ONEHOT)
+    rgq_ref[:] += _dot_oh(qg, jnp.ones((nb, 8), jnp.bfloat16))
 
     # T2 = Jg @ PJg^T over this block's lanes
     A2 = jnp.concatenate(

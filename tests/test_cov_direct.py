@@ -91,3 +91,19 @@ def test_camera_and_pair_blocks(small_problem):
     Qp = np.asarray(covariance.point_pair_covariance_blocks(
         problem, b_rcs, pairs, tol=1e-13, maxiter=4000))
     np.testing.assert_allclose(Qd, Qp, rtol=1e-6, atol=1e-13)
+
+
+def test_panel_streamed_inverse(small_problem):
+    """reduced_inverse panel streaming (incl. a non-dividing panel that
+    forces the identity-padded tail) == one-shot inverse."""
+    from bundle_adjustment_tpu.parallel import cov_direct
+
+    problem, fmp, state, spec, b_fm, b_rcs = small_problem
+    S = cov_direct.assemble_reduced_dense(fmp, b_fm)
+    Q0 = np.asarray(cov_direct.reduced_inverse(S))
+    u = S.shape[0]
+    for panel in (16, 7):  # 7 does not divide u -> padded tail path
+        Qp = np.asarray(cov_direct.reduced_inverse(S, panel=panel))
+        np.testing.assert_allclose(Qp, Q0, rtol=5e-9,
+                                   atol=5e-9 * np.abs(Q0).max())
+    assert Q0.shape == (u, u)

@@ -97,6 +97,29 @@ def test_point_sigma_rms_matches_aicon(report_solution):
     assert abs(rms(sz) - 0.00310) / 0.00310 < 0.03
 
 
+def test_point_sigma_per_point_heuristic_datum(report_solution):
+    """Element-wise per-point sigmas under the ORIGINAL ExampleReport
+    heuristic datum (names <= 3 chars) vs the AICON table.  The datum bases
+    differ, shifting sigmas systematically by up to ~8 % (measured); the
+    loose 10 % bound still catches gross dispersion errors point-by-point
+    on the configuration ExampleReport.java:70-81 actually runs (the tight
+    2 % check lives on the all-datum fixture below)."""
+    adj, _, _ = report_solution
+    ref = parse_aicon_point_sigmas(os.path.join(EXAMPLE, "example.htm"))
+    D = adj.get_cofactor_matrix() * adj.get_variance_factor_aposteriori()
+    checked = 0
+    for oc in adj.get_object_coordinates():
+        if oc.name not in ref or not all(p.column >= 0 for p in oc.params):
+            continue
+        ours = np.sqrt(np.abs([D[p.column, p.column] for p in oc.params]))
+        err = np.abs(ours - ref[oc.name])
+        tol = 0.10 * ref[oc.name] + 0.000051
+        assert (err <= tol).all(), (
+            f"point {oc.name}: ours={ours} aicon={ref[oc.name]}")
+        checked += 1
+    assert checked > 140
+
+
 def test_point_sigma_per_point_matches_aicon(report_solution_all_datum):
     """Element-wise per-point sigma_x/y/z vs the AICON report's object-point
     table (example.htm ~1605-1760) — an *independent external oracle* for the
