@@ -803,8 +803,7 @@ def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
         ops = point_ops(p, b)
         bp3 = jnp.stack(b.bp, axis=1)
         ext = freenet.prepare_extras(rp, state, bp3, rc, rg, ops, b.omega0)
-        b = b._replace(bp=tuple(ext.bp_full[:, a] for a in range(3)),
-                       omega0=ext.omega0)
+        b = b._replace(omega0=ext.omega0)
         rc, rg = ext.rc, ext.rg
     b, ext, rc, rg, Minv = jax.lax.optimization_barrier(
         (b, ext, rc, rg, Minv))
@@ -820,7 +819,9 @@ def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
         def base(c, g):
             return schur_matvec(p, b, c, g)
     mv = freenet.wrap_matvec(base, ext) if ext is not None else base
-    xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
+    Mi = (freenet.wrap_precond(rcs.make_apply_M(Minv), ext)
+          if ext is not None else Minv)
+    xc, xg, it = rcs.pcg(None, None, rc, rg, Mi, tol=cg_tol,
                          maxiter=cg_maxiter, matvec=mv)
     if ext is not None:
         dxp, _lam = freenet.back_substitute(rp, ext, point_ops(p, b), xc, xg)

@@ -93,13 +93,25 @@ class RCSProblem(NamedTuple):
     de_val: jnp.ndarray | None = None  # [M, 6]
     dg_w: jnp.ndarray | None = None    # [G]
     dg_val: jnp.ndarray | None = None  # [G]
+    # directly observed POINT coordinates with a fully populated dispersion
+    # (DirectlyObservedParameterGroup.java:37-102): n observed coordinates
+    # (point, axis) with covariance block dpg_cov = Sigma / sigma0^2 = W^{-1}
+    # — folded into the reduced system as exact low-rank rows
+    # (parallel/freenet.py)
+    dpg_idx: jnp.ndarray | None = None   # [n] int32 point ids
+    dpg_axis: jnp.ndarray | None = None  # [n] int32 axis (0/1/2)
+    dpg_val: jnp.ndarray | None = None   # [n] observed values
+    dpg_cov: jnp.ndarray | None = None   # [n, n] Sigma / sigma0^2
 
     @property
     def has_extras(self) -> bool:
-        """Scale bars or inner constraints present (lm_step_full path)."""
+        """Scale bars, inner constraints or full-dispersion direct groups
+        present (lm_step_full path)."""
         return ((self.sb_a is not None and int(self.sb_a.shape[0]) > 0)
                 or (self.defect_flags_d is not None
-                    and any(self.defect_flags_d)))
+                    and any(self.defect_flags_d))
+                or (self.dpg_idx is not None
+                    and int(self.dpg_idx.shape[0]) > 0))
 
 
 class Blocks(NamedTuple):
@@ -218,10 +230,14 @@ def build_visibility_tables(obs_point, obs_image, num_points, num_images):
 
 def rcs_from_problem(bp, dtype=jnp.float64, build_tables: bool = True) -> RCSProblem:
     """Build an RCSProblem from a compiled dense BundleProblem.  Scale bars,
-    the free-network (inner-constraint) datum and diagonal-weight direct
-    observations are carried over (parallel/freenet.py handles them in the
-    reduced system); direct groups with a fully populated dispersion remain
-    the dense solver's domain."""
+    the free-network (inner-constraint) datum and ALL direct observations
+    are carried over: diagonal-weight observations fold natively into the
+    block structures; groups with a fully populated dispersion over point
+    coordinates become exact low-rank rows (parallel/freenet.py).  A
+    populated dispersion over IO/EO/distortion parameters remains the
+    dense solver's domain (those blocks live in the retained system; the
+    point-coordinate case is the reference's flagship use,
+    ExampleFlatFiles.java:129-141)."""
     import numpy as np
 
     w2 = jax.vmap(image_weight_2x2)(
@@ -263,12 +279,21 @@ def rcs_from_problem(bp, dtype=jnp.float64, build_tables: bool = True) -> RCSPro
         de_val = np.zeros((bp.num_images, 6))
         dg_w = np.zeros(G)
         dg_val = np.zeros(G)
+        dpg_idx, dpg_axis, dpg_val_l, dpg_cov_blocks = [], [], [], []
         for dg in bp.direct_groups:
             if not dg.diagonal:
-                raise ValueError(
-                    "fully populated direct-observation dispersion is the "
-                    "dense solver's domain (DirectlyObservedParameterGroup"
-                    ".java:67-92); use diagonal weights at scale")
+                if not (dg.kind == 0).all():
+                    raise ValueError(
+                        "fully populated direct-observation dispersion over "
+                        "IO/EO/distortion parameters is the dense solver's "
+                        "domain (DirectlyObservedParameterGroup.java:67-92); "
+                        "at scale only point-coordinate groups are supported")
+                # weight = sigma0^2 Sigma^{-1}; freenet consumes W^{-1}
+                dpg_idx.append(dg.flat // 3)
+                dpg_axis.append(dg.flat % 3)
+                dpg_val_l.append(dg.values)
+                dpg_cov_blocks.append(np.linalg.inv(dg.weight))
+                continue
             wdiag = np.diagonal(dg.weight)
             for kind, flat, wv, val in zip(dg.kind, dg.flat, wdiag, dg.values):
                 if kind == 0:
@@ -296,6 +321,19 @@ def rcs_from_problem(bp, dtype=jnp.float64, build_tables: bool = True) -> RCSPro
         if dg_w.any():
             direct.update(dg_w=jnp.asarray(dg_w, dtype),
                           dg_val=jnp.asarray(dg_val, dtype))
+        if dpg_idx:
+            n_tot = sum(len(i) for i in dpg_idx)
+            cov = np.zeros((n_tot, n_tot))
+            o = 0
+            for blk in dpg_cov_blocks:
+                n = blk.shape[0]
+                cov[o:o + n, o:o + n] = blk
+                o += n
+            direct.update(
+                dpg_idx=jnp.asarray(np.concatenate(dpg_idx), jnp.int32),
+                dpg_axis=jnp.asarray(np.concatenate(dpg_axis), jnp.int32),
+                dpg_val=jnp.asarray(np.concatenate(dpg_val_l), dtype),
+                dpg_cov=jnp.asarray(cov, dtype))
 
     return RCSProblem(
         point2obs=p2o,
@@ -541,26 +579,11 @@ def global_block_preconditioner(p: RCSProblem, b: Blocks):
     return jnp.linalg.inv(Sgg)
 
 
-def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
-        matvec=None, stall_limit=None, axis_cam: str | None = None):
-    """Preconditioned CG on the implicit reduced system.
-
-    ``Minv`` is either a `Precond` (camera + global blocks) or a bare
-    [M, 6, 6] camera-block array (global block treated as identity).
-    ``matvec(xc, xg) -> (Sc, Sg)`` overrides the product (Pallas kernel).
-    ``stall_limit``: stop once no iteration in a window of this many
-    improves the best residual by >=10% — f32 rounding floors the
-    achievable residual (floor depends on the preconditioner), and spinning
-    at the floor wastes matvecs.  Default: 8 for f32 inputs, disabled for
-    f64 (tight-tolerance parity paths legitimately plateau longer).
-
-    ``axis_cam``: mesh axis name when the camera vectors (rc, xc, ...) hold
-    only this device's shard of the image rows (TP mode) — the over-images
-    contractions (dots, the coupled preconditioner's Scg^T u) are psum-ed
-    so the scalar CG recurrences stay replicated-identical."""
-    if matvec is None:
-        def matvec(xc_, xg_):
-            return schur_matvec(p, b, xc_, xg_)
+def make_apply_M(Minv, axis_cam: str | None = None):
+    """Preconditioner apply (zc, zg) = M^{-1} (rc, rg) from a `Precond`, a
+    bare [M, 6, 6] camera-block array, or an already-callable apply."""
+    if callable(Minv):
+        return Minv
 
     def _pc(x):
         return jax.lax.psum(x, axis_cam) if axis_cam is not None else x
@@ -579,6 +602,36 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
     else:
         def apply_M(rc_, rg_):
             return jnp.einsum("mab,mb->ma", Minv, rc_), rg_
+    return apply_M
+
+
+def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
+        matvec=None, stall_limit=None, axis_cam: str | None = None):
+    """Preconditioned CG on the implicit reduced system.
+
+    ``Minv`` is either a `Precond` (camera + global blocks), a bare
+    [M, 6, 6] camera-block array (global block treated as identity), or a
+    callable apply ``(rc, rg) -> (zc, zg)`` (e.g. the low-rank-corrected
+    wrap of parallel/freenet.wrap_precond).
+    ``matvec(xc, xg) -> (Sc, Sg)`` overrides the product (Pallas kernel).
+    ``stall_limit``: stop once no iteration in a window of this many
+    improves the best residual by >=10% — f32 rounding floors the
+    achievable residual (floor depends on the preconditioner), and spinning
+    at the floor wastes matvecs.  Default: 8 for f32 inputs, disabled for
+    f64 (tight-tolerance parity paths legitimately plateau longer).
+
+    ``axis_cam``: mesh axis name when the camera vectors (rc, xc, ...) hold
+    only this device's shard of the image rows (TP mode) — the over-images
+    contractions (dots, the coupled preconditioner's Scg^T u) are psum-ed
+    so the scalar CG recurrences stay replicated-identical."""
+    if matvec is None:
+        def matvec(xc_, xg_):
+            return schur_matvec(p, b, xc_, xg_)
+
+    def _pc(x):
+        return jax.lax.psum(x, axis_cam) if axis_cam is not None else x
+
+    apply_M = make_apply_M(Minv, axis_cam=axis_cam)
 
     def dot(ac, ag, bc_, bg_):
         return _pc(jnp.sum(ac * bc_)) + jnp.sum(ag * bg_)
@@ -758,14 +811,16 @@ def lm_step_full(problem: RCSProblem, state: ParamState, spec, damping,
         ops = point_ops(problem, b)
         ext = freenet.prepare_extras(problem, state, b.bp, rc, rg, ops,
                                      b.omega0)
-        b = b._replace(bp=ext.bp_full, omega0=ext.omega0)
+        b = b._replace(omega0=ext.omega0)
         rc, rg = ext.rc, ext.rg
     b, ext, rc, rg, Minv = jax.lax.optimization_barrier(
         (b, ext, rc, rg, Minv))
     base = (matvec_factory(b) if matvec_factory is not None
             else lambda c, g: schur_matvec(problem, b, c, g))
     mv = freenet.wrap_matvec(base, ext) if ext is not None else base
-    xc, xg, it = pcg(problem, b, rc, rg, Minv, tol=cg_tol,
+    Mi = (freenet.wrap_precond(make_apply_M(Minv), ext)
+          if ext is not None else Minv)
+    xc, xg, it = pcg(problem, b, rc, rg, Mi, tol=cg_tol,
                      maxiter=cg_maxiter, matvec=mv)
     if ext is not None:
         dxp, _lam = freenet.back_substitute(problem, ext,
@@ -780,7 +835,8 @@ def lm_step(problem: RCSProblem, state: ParamState, spec, damping,
     """One full LM inner solve: linearise, reduce, PCG, back-substitute.
 
     ``matvec``: optional override for the S@x product (e.g. the fused Pallas
-    kernel from parallel/pallas_matvec.py); defaults to the XLA formulation.
+    kernel from parallel/kernels.make_matvec); defaults to the XLA
+    formulation.
     Returns (dxp [P,3], dxc [M,6], dxg [G], blocks, cg_iterations)."""
     b, rc, rg, Minv = prepare(problem, state, spec, damping)
     # Materialise the linearisation before the CG loop: without the barrier

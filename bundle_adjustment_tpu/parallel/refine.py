@@ -47,6 +47,13 @@ def upcast_problem(problem: rcs.RCSProblem) -> rcs.RCSProblem:
 class Refiner:
     """Engine-path (feature-major) mixed-precision refiner.
 
+    Supports the full extras surface of the scale path: scale bars, Helmert
+    inner-constraint datum (freenet low-rank corrections, coefficients in
+    f32, the cancelling bar misclosure from the f64 pass) and direct
+    observations (folded natively by the f64 lineariser; the de camera rhs
+    term added in gradient64) — BundleAdjustment.java:493-635,
+    PartialDerivativeFactory.java:210-283,447-473.
+
     Usage:
         r = Refiner(problem32, spec)
         s = hilo.from_f32(state32)          # after the plain f32 LM loop
@@ -68,12 +75,8 @@ class Refiner:
             raise RuntimeError(
                 "mixed-precision refinement needs jax_enable_x64=True for "
                 "its f64 gradient pass (f64 would silently truncate)")
-        if problem32.has_extras:
-            raise NotImplementedError(
-                "refinement with scale bars / inner constraints: run the "
-                "f32 lm_step_full loop; mixed-precision extras are future "
-                "work")
         self.problem32 = problem32
+        self.has_extras = problem32.has_extras
         self.spec = spec
         self.couple_global = couple_global
         self.use_pallas = use_pallas
@@ -94,25 +97,65 @@ class Refiner:
                 p_host = jax.tree.map(
                     lambda x: jax.device_put(x, self._gdev)
                     if hasattr(x, "dtype") else x, problem32)
-                self.fmp64 = engine.fm_problem(upcast_problem(p_host))
+                p64 = upcast_problem(p_host)
+                self.fmp64 = engine.fm_problem(p64)
         else:
-            self.fmp64 = engine.fm_problem(upcast_problem(problem32))
+            p64 = upcast_problem(problem32)
+            self.fmp64 = engine.fm_problem(p64)
+        # scale-bar / direct-group geometry for the f64 misclosures (tiny;
+        # lives with fmp64)
+        has_bars = (getattr(p64, "sb_a", None) is not None
+                    and int(p64.sb_a.shape[0]) > 0)
+        self._sb64 = ((p64.sb_a, p64.sb_b, p64.sb_length,
+                       p64.sb_weight) if has_bars else None)
+        has_dpg = (getattr(p64, "dpg_idx", None) is not None
+                   and int(p64.dpg_idx.shape[0]) > 0)
+        self._dpg64 = ((p64.dpg_idx, p64.dpg_axis, p64.dpg_val)
+                       if has_dpg else None)
         self._grad = jax.jit(
             lambda st64: self.gradient64(self.fmp64, st64))
         self._step = jax.jit(self._step_impl, static_argnames=(
             "cg_tol", "cg_maxiter", "stall_limit"))
 
     def gradient64(self, fmp64, state64: ParamState):
-        """(bp [P,3], bc [M,6], bg [G], omega0) in f64 — the only f64 pass."""
+        """(bp [P,3], bc [M,6], bg [G], omega0, w_sb [R]) in f64 — the only
+        f64 pass.  bp/bc/bg are the FULL-space gradient blocks J^T P w incl.
+        direct observations (linearize folds dp/dg natively; the de camera
+        term is added here); w_sb is the f64 scale-bar misclosure vector
+        (empty when the problem has no bars)."""
         b = engine.linearize(fmp64, state64, self.spec,
                              jnp.asarray(0.0, jnp.float64))
         bc = engine._image_sum_stack(
             fmp64,
             [b.Jc[a] * b.Pw[0] + b.Jc[6 + a] * b.Pw[1] for a in range(6)])
-        return jnp.stack(b.bp, axis=1), bc, b.bg, b.omega0
+        if fmp64.de_w is not None:
+            bc = bc + (fmp64.de_w * fmp64.free_eo
+                       * (fmp64.de_val - state64.eo))
+        omega0 = b.omega0
+        wsb = jnp.zeros((0,), jnp.float64)
+        if self._sb64 is not None:
+            sa, sb, slen, sw = self._sb64
+            dvec = state64.points[sb] - state64.points[sa]
+            dist = jnp.sqrt(jnp.sum(dvec * dvec, axis=1))
+            wsb = slen - dist
+            omega0 = omega0 + jnp.sum(sw * wsb * wsb)
+        wdpg = jnp.zeros((0,), jnp.float64)
+        if self._dpg64 is not None:
+            idx, ax, val = self._dpg64
+            cur = jnp.take_along_axis(state64.points[idx], ax[:, None],
+                                      axis=1)[:, 0]
+            wdpg = val - cur
+            # omega term added by prepare_extras via dpg_misclosure in the
+            # f32 step path; the f64 omega0 here adds it exactly
+            cov64 = self.problem32.dpg_cov.astype(jnp.float64)
+            omega0 = omega0 + jnp.dot(wdpg, jnp.linalg.solve(cov64, wdpg))
+        return jnp.stack(b.bp, axis=1), bc, b.bg, omega0, wsb, wdpg
 
     def _step_impl(self, s: hilo.HiLoState, damping, bp32, bc32, bg32,
-                   cg_tol=1e-7, cg_maxiter=400, stall_limit=200):
+                   wsb32, wdpg32, cg_tol=1e-7, cg_maxiter=400,
+                   stall_limit=200):
+        from . import freenet
+
         p32 = self.fmp32
         if self.use_pallas:
             from . import kernels
@@ -132,24 +175,42 @@ class Refiner:
         rg = bg32 - dg
         b = b._replace(bp=tuple(bp32[:, a] for a in range(3)),
                        bc=bc32, bg=bg32)
-        b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
+        ext = None
+        if self.has_extras:
+            # exact low-rank extras corrections around the f64 gradient:
+            # coefficients (U, B, Cap, Bb) in f32 from the current hi state,
+            # the cancelling bar misclosure from the f64 pass (wsb32)
+            ext = freenet.prepare_extras(
+                self.problem32, s.hi, bp32, rc, rg, ops,
+                jnp.asarray(0.0, bp32.dtype), sb_misclosure=wsb32,
+                dpg_misclosure=wdpg32)
+            rc, rg = ext.rc, ext.rg
+        b, ext, rc, rg, Minv = jax.lax.optimization_barrier(
+            (b, ext, rc, rg, Minv))
         if self.use_pallas:
             # reuse the rows packed once by prepare_pallas above
-            matvec = kernels.make_matvec(pp, b.extra_c, b.extra_g)
+            base = kernels.make_matvec(pp, b.extra_c, b.extra_g)
         else:
-            def matvec(c, g):
+            def base(c, g):
                 return engine.schur_matvec(p32, b, c, g)
-        xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
+        matvec = freenet.wrap_matvec(base, ext) if ext is not None else base
+        Mi = (freenet.wrap_precond(rcs.make_apply_M(Minv), ext)
+              if ext is not None else Minv)
+        xc, xg, it = rcs.pcg(None, None, rc, rg, Mi, tol=cg_tol,
                              maxiter=cg_maxiter, matvec=matvec,
                              stall_limit=stall_limit)
-        dxp = engine.back_substitute_points(p32, b, xc, xg,
-                                            cam_gather=self._cam_gather)
+        if ext is not None:
+            dxp, _lam = freenet.back_substitute(
+                self.problem32, ext, engine.point_ops(p32, b), xc, xg)
+        else:
+            dxp = engine.back_substitute_points(p32, b, xc, xg,
+                                                cam_gather=self._cam_gather)
         new_s, max_dx = hilo.apply_step(s, dxp, xc, xg)
         return new_s, max_dx, it
 
     def _gradient(self, s: hilo.HiLoState):
-        """f64 gradient on the chosen backend; returns f32 (bp, bc, bg)
-        placed on the default (compute) device + the f64 omega0."""
+        """f64 gradient on the chosen backend; returns f32 (bp, bc, bg,
+        wsb) placed on the default (compute) device + the f64 omega0."""
         if self._gdev is not None:
             # compute device = wherever the f32 problem lives (device_put
             # with device=None would LEAVE the results cpu-committed and
@@ -157,20 +218,24 @@ class Refiner:
             cdev = next(iter(self.fmp32.obs_x.devices()))
             s_g = jax.device_put(s, self._gdev)
             with jax.default_device(self._gdev):
-                bp64, bc64, bg64, omega0 = self._grad(hilo.to_f64(s_g))
+                bp64, bc64, bg64, omega0, wsb, wdpg = self._grad(
+                    hilo.to_f64(s_g))
                 f32 = (bp64.astype(jnp.float32), bc64.astype(jnp.float32),
-                       bg64.astype(jnp.float32))
+                       bg64.astype(jnp.float32), wsb.astype(jnp.float32),
+                       wdpg.astype(jnp.float32))
             return tuple(jax.device_put(x, cdev) for x in f32) + (omega0,)
-        bp64, bc64, bg64, omega0 = self._grad(hilo.to_f64(s))
+        bp64, bc64, bg64, omega0, wsb, wdpg = self._grad(hilo.to_f64(s))
         return (bp64.astype(jnp.float32), bc64.astype(jnp.float32),
-                bg64.astype(jnp.float32), omega0)
+                bg64.astype(jnp.float32), wsb.astype(jnp.float32),
+                wdpg.astype(jnp.float32), omega0)
 
     def step(self, s: hilo.HiLoState, damping=1e-8,
              cg_tol=1e-7, cg_maxiter=400, stall_limit=200):
-        bp32, bc32, bg32, omega0 = self._gradient(s)
+        bp32, bc32, bg32, wsb32, wdpg32, omega0 = self._gradient(s)
         new_s, max_dx, it = self._step(
-            s, jnp.asarray(damping, jnp.float32), bp32, bc32, bg32,
-            cg_tol=cg_tol, cg_maxiter=cg_maxiter, stall_limit=stall_limit)
+            s, jnp.asarray(damping, jnp.float32), bp32, bc32, bg32, wsb32,
+            wdpg32, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+            stall_limit=stall_limit)
         return new_s, max_dx, omega0, it
 
     def refine(self, state32: ParamState, tolerance: float = 1e-6,

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.problem import ParamState
+from ..solver.adjustment import BundleAdjustment as _DenseBundleAdjustment
 from . import rcs
 
 
@@ -54,15 +55,52 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
           matvec_factory: Optional[Callable] = None,
           checkpoint_path: Optional[str] = None,
           checkpoint_every: int = 0,
-          verbose: bool = False) -> RCSResult:
+          verbose: bool = False,
+          simulation: bool = False,
+          listeners: Optional[list] = None,
+          interrupted: Optional[Callable[[], bool]] = None) -> RCSResult:
     """Run the LM loop to convergence on a large-scale problem.
 
     ``matvec_factory(blocks) -> matvec``: optional per-iteration S@x override
     (e.g. the fused Pallas kernel).
+    ``simulation``: EstimationType.SIMULATION semantics — the right-hand
+    side is zeroed so every step is exactly 0 and Omega = 0; the machinery
+    (and covariance recovery on the unchanged state) still runs — pure
+    variance propagation for network design (BundleAdjustment.java:830-831).
+    ``listeners``: callbacks ``fn(name, old, new)`` fired with the
+    reference's PropertyChange event names (ITERATE per iteration with
+    (max_iterations, k), LEVENBERG_MARQUARDT_STEP with (lambda_old,
+    lambda_new), CONVERGENCE with (tolerance, max_dx), INTERRUPT,
+    NO_CONVERGENCE — EstimationStateType.java:24-60).
+    ``interrupted``: zero-arg callable polled once per iteration; True
+    stops the loop cooperatively with status INTERRUPT
+    (BundleAdjustment.java:1455-1457).
     """
+    from ..solver.adjustment import EstimationState
+
     dtype = state.points.dtype
     if tolerance is None:
         tolerance = float(np.sqrt(np.finfo(np.dtype(dtype.name)).eps))
+
+    def fire(name, old, new):
+        for fn in (listeners or ()):
+            fn(name, old, new)
+
+    if simulation:
+        # zero rhs => dx = 0 exactly; validate one linearisation pass so
+        # singular geometry still surfaces, then report the zero result
+        dxp, dxc, dxg, b, cg_it, ext = jax.jit(
+            lambda st: rcs.lm_step_full(problem, st, spec,
+                                        jnp.asarray(0.0, dtype),
+                                        cg_tol=cg_tol, cg_maxiter=0))(state)
+        ok = bool(np.isfinite(np.asarray(b.omega0)))
+        fire("CONVERGENCE", tolerance, 0.0)
+        return RCSResult(state=state, converged=ok, iterations=0,
+                         omega=0.0, max_abs_dx=0.0,
+                         history=[{"iter": 0, "max_dx": 0.0, "damping": 0.0,
+                                   "cg_it": 0, "omega0": 0.0}],
+                         status=(EstimationState.ERROR_FREE_ESTIMATION
+                                 if ok else EstimationState.SINGULAR_MATRIX))
 
     adapted = float(damping)
     omega_prev = 0.0
@@ -89,6 +127,7 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
     max_dx = float("inf")
     for k in range(max_iterations):
         it_done = k + 1
+        fire("ITERATE", max_iterations, it_done)
         lam = jnp.asarray(adapted, dtype)
         dxp, dxc, dxg, b, cg_it, ext = step_fn(state, lam)
 
@@ -99,6 +138,7 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
             cur = float(omega_fn(b, ext, alpha * dxp, alpha * dxc,
                                  alpha * dxg))
             prev = omega_prev if omega_prev > 0 else float(np.finfo(float).max)
+            lam_old = adapted
             if prev >= cur:
                 adapted *= 0.2
                 omega_prev = cur
@@ -107,6 +147,7 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
                 omega_prev = cur
                 rejected = True
                 max_dx = last_valid_dx
+            fire("LEVENBERG_MARQUARDT_STEP", lam_old, adapted)
 
         if not rejected:
             state, mdx = apply_fn(state, dxp, dxc, dxg,
@@ -130,18 +171,96 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
                          adapted_damping=adapted, omega=omega_prev,
                          max_abs_dx=max_dx).save(checkpoint_path)
 
-        if not np.isfinite(max_dx):
-            from ..solver.adjustment import EstimationState
+        if interrupted is not None and interrupted():
+            fire("INTERRUPT", False, True)
+            return RCSResult(state=state, converged=False,
+                             iterations=it_done, omega=omega_prev,
+                             max_abs_dx=max_dx, history=history,
+                             status=EstimationState.INTERRUPT)
 
+        if not np.isfinite(max_dx):
+            fire("SINGULAR_MATRIX", False, True)
             return RCSResult(state=state, converged=False, iterations=it_done,
                              omega=omega_prev, max_abs_dx=max_dx,
                              history=history,
                              status=EstimationState.SINGULAR_MATRIX)
         if max_dx <= tolerance and adapted == 0:
             converged = True
+            fire("CONVERGENCE", tolerance, max_dx)
             break
+        fire("CONVERGENCE", tolerance, max_dx)
         if adapted <= tolerance or k > max_iterations * 0.5:
             adapted = 0.0
 
+    if not converged:
+        fire("NO_CONVERGENCE", tolerance, max_dx)
     return RCSResult(state=state, converged=converged, iterations=it_done,
                      omega=omega_prev, max_abs_dx=max_dx, history=history)
+
+
+class ScaleBundleAdjustment(_DenseBundleAdjustment):
+    """The reference `BundleAdjustment` user API (setters, listeners,
+    interrupt, SIMULATION, result writers — BundleAdjustment.java:652-665,
+    1123-1199, 1455-1459) solved by the large-scale RCS engine instead of
+    the dense bordered factorisation.
+
+    Subclasses the dense solver and swaps its `_Kernels`:
+
+    * intermediate iterations run `rcs.lm_step_full` (point-eliminated
+      implicit-Schur PCG + exact low-rank extras) and scatter the step back
+      into the dense column layout, so the parent's LM bookkeeping, event
+      stream, interrupt, centroiding, checkpointing and writer export run
+      unchanged (the F14/F15 surface is inherited, not re-implemented);
+    * the FINAL stochastic pass (covariance by the requested
+      MatrixInversion mode) keeps the parent's dense kernel — Qxx is dense
+      by contract there.  At array scale (100k+ points) use `solve()` +
+      parallel/cov_direct for block covariance recovery instead.
+    """
+
+    cg_tol: float = 1e-12
+    cg_maxiter: int = 2000
+
+    def _build_kernels(self):
+        from ..solver.adjustment import EstimationType, _Kernels
+
+        base = super()._build_kernels()
+        bp = self.problem
+        rp = rcs.rcs_from_problem(bp, dtype=self.dtype)
+        spec = bp.spec
+        simulation = self.estimation_type == EstimationType.SIMULATION
+        T = bp.total_size
+        C = bp.num_cameras
+        K = spec.num_coefficients
+
+        cols_p = jnp.asarray(np.asarray(bp.col_points).ravel())
+        cols_e = jnp.asarray(np.asarray(bp.col_eo).ravel())
+        cols_g = jnp.asarray(np.concatenate(
+            [np.concatenate([bp.col_io[c], bp.col_dist[c]])
+             for c in range(C)]))
+
+        def to_flat(dxp, dxc, dxg):
+            dx = jnp.zeros(T + 1, dxp.dtype)
+            dx = dx.at[jnp.where(cols_p >= 0, cols_p, T)].set(dxp.ravel())
+            dx = dx.at[jnp.where(cols_e >= 0, cols_e, T)].set(dxc.ravel())
+            dx = dx.at[jnp.where(cols_g >= 0, cols_g, T)].set(dxg)
+            return dx[:T]
+
+        def solve_intermediate(state, damping):
+            if simulation:
+                return jnp.zeros(T, self.dtype)
+            dxp, dxc, dxg, b, it, ext = rcs.lm_step_full(
+                rp, state, spec, jnp.asarray(damping, self.dtype),
+                cg_tol=self.cg_tol, cg_maxiter=self.cg_maxiter)
+            return to_flat(dxp, dxc, dxg)
+
+        solve_intermediate = jax.jit(solve_intermediate)
+
+        def solve_final(state, damping):
+            # dx by the scale engine, Qxx by the dense stochastic pass
+            dx = solve_intermediate(state, damping)
+            _, Q = base.solve_final(state, damping)
+            return dx, Q
+
+        return _Kernels(assemble=base.assemble, omega=base.omega,
+                        solve_intermediate=solve_intermediate,
+                        solve_final=solve_final)

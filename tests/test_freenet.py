@@ -200,3 +200,90 @@ def test_direct_observations_diagonal():
     om = float(rcs.omega_at_full(problem, b, ext, dxp, dxc, dxg))
     om_d = float(kern.omega(state0, jnp.asarray(dx)))
     np.testing.assert_allclose(om, om_d, rtol=1e-10)
+
+
+def test_direct_observations_full_dispersion():
+    """Fully populated direct-observation dispersion over point coordinates:
+    scale path == dense bordered solver per step (the library's raison
+    d'être — DirectlyObservedParameterGroup.java:37-102, folded as exact
+    low-rank rows by parallel/freenet.py).  VERDICT r3 item 4."""
+    from bundle_adjustment_tpu import (
+        DirectObservation, DirectlyObservedParameterGroup)
+    from bundle_adjustment_tpu.solver.adjustment import (
+        BundleAdjustment, MatrixInversion)
+
+    cameras, bars, truth = make_synthetic_scene(
+        num_points=30, num_images=6, noise=1e-4, sigma=1e-4, perturb=0.01,
+        seed=17, with_scale_bar=True)
+    observed = []
+    rng = np.random.default_rng(3)
+    for oc in truth["coords"]:
+        oc.set_datum(False)
+    for oc in truth["coords"][:5]:
+        for par, t in zip(oc.params, ("OBJ_X", "OBJ_Y", "OBJ_Z")):
+            observed.append(DirectObservation(
+                par, par.value + rng.normal(0, 1e-4), 1.0, t, oc))
+    n = len(observed)
+    U = rng.normal(0, 1e-4, (n, n)) + np.eye(n) * 3e-4
+    dispersion = U.T @ U  # SPD, fully populated (ExampleFlatFiles:129-140)
+    group = DirectlyObservedParameterGroup(observed, dispersion)
+
+    layout = assign_columns(cameras, bars, [group])
+    cs = compile_problem(cameras, bars, [group], layout)
+    bp = cs.problem
+    assert bp.defect == 0
+    state0 = ParamState(*(jnp.asarray(a, jnp.float64) for a in cs.state))
+    problem = rcs.rcs_from_problem(bp, dtype=jnp.float64)
+    assert problem.dpg_idx is not None and problem.has_extras
+    assert problem.dpg_cov.shape == (n, n)
+
+    adj = BundleAdjustment()
+    adj.cameras, adj.scale_bars, adj.direct_groups = cameras, bars, [group]
+    adj.compiled = cs
+    adj.set_invert_normal_equation(MatrixInversion.NONE)
+    kern = adj._build_kernels()
+    dx = np.asarray(kern.solve_intermediate(state0, 0.0))
+    dxp_d, dxc_d, dxg_d = _dense_dx_blocks(bp, dx)
+
+    dxp, dxc, dxg, b, it, ext = rcs.lm_step_full(
+        problem, state0, bp.spec, jnp.asarray(0.0),
+        cg_tol=1e-14, cg_maxiter=4000)
+    np.testing.assert_allclose(np.asarray(dxp), dxp_d, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dxc), dxc_d, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dxg), dxg_d, rtol=1e-6, atol=1e-10)
+    om = float(rcs.omega_at_full(problem, b, ext, dxp, dxc, dxg))
+    om_d = float(kern.omega(state0, jnp.asarray(dx)))
+    np.testing.assert_allclose(om, om_d, rtol=1e-9)
+
+    # feature-major engine path agrees with the (dense-validated) rcs path
+    # on a uniform point-major twin carrying the same kind of group
+    import bench as B
+
+    prob_u, state_u, spec_u = B.build_problem(256, 16, 8, jnp.float64,
+                                              seed=23)
+    rng2 = np.random.default_rng(5)
+    n_u = 9
+    idx_u = jnp.asarray(rng2.choice(256, n_u, replace=False).astype(np.int32))
+    ax_u = jnp.asarray(rng2.integers(0, 3, n_u).astype(np.int32))
+    Uu = rng2.normal(0, 1e-4, (n_u, n_u)) + np.eye(n_u) * 3e-4
+    cur_u = jnp.take_along_axis(state_u.points[idx_u], ax_u[:, None],
+                                axis=1)[:, 0]
+    prob_u = prob_u._replace(
+        dpg_idx=idx_u, dpg_axis=ax_u,
+        dpg_val=cur_u + jnp.asarray(rng2.normal(0, 1e-4, n_u)),
+        dpg_cov=jnp.asarray(Uu.T @ Uu))
+    assert prob_u.has_extras
+    damp_u = jnp.asarray(1e-6)
+    dxp_r, dxc_r, dxg_r, b_r, _, ext_r = rcs.lm_step_full(
+        prob_u, state_u, spec_u, damp_u, cg_tol=1e-13, cg_maxiter=2000)
+    fmp_u = engine.fm_problem(prob_u)
+    dxp_e, dxc_e, dxg_e, b_e, _, ext_e = engine.lm_step_full(
+        fmp_u, prob_u, state_u, spec_u, damp_u, cg_tol=1e-13,
+        cg_maxiter=2000)
+    np.testing.assert_allclose(dxp_e, dxp_r, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(dxc_e, dxc_r, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(dxg_e, dxg_r, rtol=1e-5, atol=1e-9)
+    om_e = engine.omega_at_full(fmp_u, prob_u, b_e, ext_e, dxp_e, dxc_e,
+                                dxg_e, state_u)
+    om_r = rcs.omega_at_full(prob_u, b_r, ext_r, dxp_r, dxc_r, dxg_r)
+    np.testing.assert_allclose(om_e, om_r, rtol=1e-8)

@@ -1,0 +1,161 @@
+"""F14/F15 surface on the scale driver (VERDICT r3 item 7): SIMULATION,
+interrupt, state-machine events and writer export run against BOTH solvers
+— the dense parity engine and the RCS scale engine
+(BundleAdjustment.java:830-831, 1132-1137, 1455-1459)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bundle_adjustment_tpu.models.layout import assign_columns
+from bundle_adjustment_tpu.models.problem import ParamState, compile_problem
+from bundle_adjustment_tpu.parallel import rcs, solver
+from bundle_adjustment_tpu.solver.adjustment import (
+    BundleAdjustment, EstimationState, EstimationType, MatrixInversion)
+from bundle_adjustment_tpu.testing import make_synthetic_scene
+
+
+def _scene(seed=21):
+    return make_synthetic_scene(
+        num_points=25, num_images=6, noise=1e-4, sigma=1e-4, perturb=0.01,
+        seed=seed, with_scale_bar=True)
+
+
+def _adjust(cls, cameras, bars, **kw):
+    adj = cls()
+    adj.add(cameras[0] if len(cameras) == 1 else cameras)
+    for sb in bars:
+        adj.add(sb)
+    for k, v in kw.items():
+        setattr(adj, k, v)
+    return adj
+
+
+BOTH = [BundleAdjustment, solver.ScaleBundleAdjustment]
+
+
+@pytest.mark.parametrize("cls", BOTH, ids=["dense", "scale"])
+def test_estimate_matches_dense(cls):
+    """Both solver classes produce the same estimate and statistics."""
+    cameras, bars, truth = _scene()
+    adj = _adjust(cls, cameras, bars)
+    adj.set_invert_normal_equation(MatrixInversion.REDUCED)
+    status = adj.estimate_model()
+    assert status == EstimationState.ERROR_FREE_ESTIMATION
+    if cls is BundleAdjustment:
+        test_estimate_matches_dense.ref = (
+            np.asarray(adj.state.points).copy(), adj.omega,
+            adj.get_variance_factor_aposteriori(), np.asarray(adj.Qxx).copy())
+    else:
+        pts_d, om_d, s2_d, Q_d = test_estimate_matches_dense.ref
+        np.testing.assert_allclose(np.asarray(adj.state.points), pts_d,
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(adj.omega, om_d, rtol=1e-8)
+        np.testing.assert_allclose(adj.get_variance_factor_aposteriori(),
+                                   s2_d, rtol=1e-8)
+        # the two iteration paths land on states differing at the CG
+        # tolerance, so Qxx (re-linearised there) matches to ~1e-6 relative
+        # of its scale, not element-wise machine precision
+        np.testing.assert_allclose(np.asarray(adj.Qxx), Q_d, rtol=1e-4,
+                                   atol=1e-6 * np.abs(Q_d).max())
+
+
+@pytest.mark.parametrize("cls", BOTH, ids=["dense", "scale"])
+def test_simulation_mode(cls):
+    """SIMULATION zeroes the rhs: dx = 0, Omega = 0, parameters unchanged,
+    Qxx still recovered (network design by variance propagation)."""
+    cameras, bars, truth = _scene(seed=22)
+    adj = _adjust(cls, cameras, bars)
+    adj.set_estimation_type(EstimationType.SIMULATION)
+    adj.set_invert_normal_equation(MatrixInversion.REDUCED)
+    adj.use_centroided_coordinates = False
+    before = {id(oc): (oc.x.value, oc.y.value, oc.z.value)
+              for oc in truth["coords"]}
+    status = adj.estimate_model()
+    assert status == EstimationState.ERROR_FREE_ESTIMATION
+    assert adj.omega == 0.0
+    # a-posteriori variance falls back to a-priori in SIMULATION
+    assert adj.get_variance_factor_aposteriori() == \
+        adj.get_variance_factor_apriori()
+    for oc in truth["coords"]:
+        assert before[id(oc)] == (oc.x.value, oc.y.value, oc.z.value)
+    assert adj.Qxx is not None and np.isfinite(adj.Qxx).all()
+
+
+@pytest.mark.parametrize("cls", BOTH, ids=["dense", "scale"])
+def test_interrupt_and_events(cls):
+    """interrupt() stops the loop with status INTERRUPT; the listener sees
+    the reference event stream (ITERATE -> ... -> INTERRUPT)."""
+    cameras, bars, truth = _scene(seed=23)
+    adj = _adjust(cls, cameras, bars)
+    adj.set_invert_normal_equation(MatrixInversion.NONE)
+    events = []
+
+    def listener(name, old, new):
+        events.append(name)
+        if name == "ITERATE" and new >= 2:
+            adj.interrupt()
+
+    adj.add_property_change_listener(listener)
+    status = adj.estimate_model()
+    assert status == EstimationState.INTERRUPT
+    assert "ITERATE" in events and events[-1] == "INTERRUPT"
+
+
+@pytest.mark.parametrize("cls", BOTH, ids=["dense", "scale"])
+def test_writer_export(cls, tmp_path):
+    """DefaultResultWriter exports identical .info files from both solvers
+    (and the scale class fires EXPORT_ADJUSTMENT_RESULTS)."""
+    from bundle_adjustment_tpu.io.writers import DefaultResultWriter
+
+    cameras, bars, truth = _scene(seed=24)
+    base = os.path.join(tmp_path, f"out_{cls.__name__}")
+    adj = _adjust(cls, cameras, bars)
+    adj.set_invert_normal_equation(MatrixInversion.REDUCED)
+    events = []
+    adj.add_property_change_listener(lambda n, o, nw: events.append(n))
+    adj.set_adjustment_result_writer(DefaultResultWriter(base))
+    status = adj.estimate_model()
+    assert status == EstimationState.ERROR_FREE_ESTIMATION
+    assert "EXPORT_ADJUSTMENT_RESULTS" in events
+    assert os.path.exists(base + ".info") and os.path.exists(base + ".cxx")
+    with open(base + ".info") as fh:
+        content = fh.read()
+    if cls is BundleAdjustment:
+        test_writer_export.ref_info = content
+    else:
+        # identical parameter names/indices; values equal to solver precision
+        ref = test_writer_export.ref_info.splitlines()
+        got = content.splitlines()
+        assert len(ref) == len(got)
+        for rl, gl in zip(ref, got):
+            rf, gf = rl.split("\t"), gl.split("\t")
+            assert rf[0] == gf[0] and rf[1] == gf[1] and rf[3] == gf[3]
+            assert abs(float(rf[2]) - float(gf[2])) < 1e-8
+
+
+def test_solve_simulation_events_interrupt():
+    """Array-native driver surface: solve(simulation=True) returns a zero
+    step with Omega = 0; listeners fire; `interrupted` stops the loop."""
+    import bench as B
+
+    problem, state, spec = B.build_problem(128, 8, 6, jnp.float64, seed=31)
+    res = solver.solve(problem, state, spec, simulation=True)
+    assert res.status == EstimationState.ERROR_FREE_ESTIMATION
+    assert res.omega == 0.0 and res.max_abs_dx == 0.0
+    np.testing.assert_array_equal(np.asarray(res.state.points),
+                                  np.asarray(state.points))
+
+    events = []
+    stop = {"now": False}
+    res2 = solver.solve(
+        problem, state, spec, damping=1e-3, max_iterations=10,
+        listeners=[lambda n, o, nw: events.append(n)],
+        interrupted=lambda: stop["now"] or stop.update(now=True) or False)
+    # first poll returns False and arms the flag; second iteration stops
+    assert res2.status == EstimationState.INTERRUPT
+    assert res2.iterations == 2
+    assert "ITERATE" in events and "LEVENBERG_MARQUARDT_STEP" in events
+    assert events[-1] == "INTERRUPT"
