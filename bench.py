@@ -601,10 +601,79 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     return out
 
 
+def run_mesh_suite(n_mesh, num_points, num_images, views):
+    """Sharded perf mode (bench.py --mesh N): fixed-cg LM it/s and the
+    effective aggregate matvec bandwidth of the point-sharded feature-major
+    step on an n-device mesh (pod numbers are this one flag away —
+    SURVEY section 2.J plan).  Uses the real devices when n are available,
+    else n virtual CPU devices (sharding-semantics measurement only)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from bundle_adjustment_tpu.parallel import spmd_fm
+
+    out = {"mesh_devices": n_mesh,
+           "mesh_platform": jax.devices()[0].platform}
+    problem, state, spec = build_problem(num_points, num_images, views,
+                                         jnp.float32, pad128=True)
+    mesh = Mesh(np.array(jax.devices()[:n_mesh]), ("pts",))
+    problem, state, _ = spmd_fm.pad_for_mesh(problem, state, mesh)
+    G = 3 + spec.num_coefficients
+    N = int(problem.obs_point.shape[0])
+
+    def make(cg):
+        step, args0 = spmd_fm.make_spmd_fm_lm_step(
+            problem, state, spec, mesh, damping=1e-3,
+            cg_tol=1e-30, cg_maxiter=cg, stall_limit=10**6)
+        return step, args0
+
+    def feed(o, a):
+        (pts, io, dist, eo), mdx, om, it = o
+        return (pts, io, dist, eo)
+
+    t0 = time.time()
+    res = {}
+    for cg in (8, 40):
+        step, args0 = make(cg)
+        o = step(*args0)
+        _fetch(o[1])
+        dt, o = _time_chain(lambda *a: step(*a), 6, feed, *args0)
+        res[cg] = dt
+        assert int(o[3]) == cg, (int(o[3]), cg)
+    out["mesh_compile_s"] = round(time.time() - t0, 2)
+    out["mesh_lm_it_per_s_fixed_cg8"] = round(1.0 / res[8], 3)
+    per_mv = (res[40] - res[8]) / 32.0
+    _, fbytes = matvec_cost(N, G, views)
+    out["mesh_matvec_ms"] = round(per_mv * 1e3, 3)
+    out["mesh_matvec_agg_gbps"] = round(fbytes / per_mv / 1e9, 1)
+    print(f"mesh({n_mesh}x{out['mesh_platform']}): "
+          f"{out['mesh_lm_it_per_s_fixed_cg8']} it/s cg8, "
+          f"matvec {out['mesh_matvec_ms']} ms "
+          f"({out['mesh_matvec_agg_gbps']} GB/s aggregate)",
+          file=sys.stderr)
+    return out
+
+
 def main():
     import os
 
     import jax
+
+    mesh_n = 0
+    if "--mesh" in sys.argv:
+        i = sys.argv.index("--mesh")
+        mesh_n = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
+        # fall back to n virtual CPU devices unless the caller asserts real
+        # chips are present (BENCH_MESH_REAL=1 on a pod slice); the platform
+        # must be decided BEFORE first backend use
+        if mesh_n > 1 and not os.environ.get("BENCH_MESH_REAL"):
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={mesh_n}")
+            jax.config.update("jax_platforms", "cpu")
 
     if os.environ.get("BENCH_CPU"):  # debug runs off the TPU grant
         jax.config.update("jax_platforms", "cpu")
@@ -622,6 +691,24 @@ def main():
     views = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     with_config5 = len(sys.argv) <= 1  # default run covers config 4 AND 5
     t_start = time.time()
+
+    if mesh_n:
+        if len(sys.argv) <= 1:
+            num_points, num_images, views = 20_000, 100, 8
+        out = run_mesh_suite(mesh_n, num_points, num_images, views)
+        result = {
+            "metric": f"mesh{mesh_n}_lm_iterations_per_s_{num_points}pts"
+                      f"_fixed_cg8",
+            "value": out["mesh_lm_it_per_s_fixed_cg8"],
+            "unit": "lm_iter/s",
+            "vs_baseline": round(
+                out["mesh_lm_it_per_s_fixed_cg8"]
+                / (1.0 / (((3 * num_points) ** 3 / 6) / 5e10)), 1),
+            "total_wall_s": round(time.time() - t_start, 1),
+        }
+        result.update(out)
+        print(json.dumps(result), flush=True)
+        return
 
     # baseline: dense Java reference extrapolated to this scale (see module
     # docstring): (3P)^3/6 flops per iteration at a generous 5e10 flop/s.

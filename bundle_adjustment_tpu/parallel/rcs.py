@@ -831,7 +831,7 @@ def lm_step_full(problem: RCSProblem, state: ParamState, spec, damping,
 
 
 def lm_step(problem: RCSProblem, state: ParamState, spec, damping,
-            cg_tol=1e-10, cg_maxiter=200, matvec=None):
+            cg_tol=1e-10, cg_maxiter=200, matvec=None, stall_limit=None):
     """One full LM inner solve: linearise, reduce, PCG, back-substitute.
 
     ``matvec``: optional override for the S@x product (e.g. the fused Pallas
@@ -844,7 +844,7 @@ def lm_step(problem: RCSProblem, state: ParamState, spec, damping,
     # them every CG iteration (~3x the whole LM step at 100k points).
     b, rc, rg, Minv = jax.lax.optimization_barrier((b, rc, rg, Minv))
     xc, xg, it = pcg(problem, b, rc, rg, Minv, tol=cg_tol, maxiter=cg_maxiter,
-                     matvec=matvec)
+                     matvec=matvec, stall_limit=stall_limit)
     dxp = back_substitute_points(problem, b, xc, xg)
     return dxp, xc, xg, b, it
 

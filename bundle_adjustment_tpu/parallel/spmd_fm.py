@@ -107,7 +107,7 @@ def make_spmd_fm_lm_step(problem: rcs.RCSProblem, state: ParamState,
                          spec, mesh: Mesh, damping=1e-4,
                          cg_tol=1e-6, cg_maxiter=200,
                          couple_global: bool = True, axis: str = AXIS,
-                         cam_shard: bool = False):
+                         cam_shard: bool = False, stall_limit=None):
     """Build the jitted point-sharded FM LM step.
 
     Returns (step, args0) where ``step(points, io, dist, eo) ->
@@ -157,6 +157,7 @@ def make_spmd_fm_lm_step(problem: rcs.RCSProblem, state: ParamState,
 
         xc, xg, it = rcs.pcg(None, None, rc, rg, Minv, tol=cg_tol,
                              maxiter=cg_maxiter, matvec=matvec,
+                             stall_limit=stall_limit,
                              axis_cam=axis if cam_shard else None)
         if cam_shard:
             xc = jax.lax.all_gather(xc, axis, axis=0, tiled=True)
