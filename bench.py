@@ -311,27 +311,33 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     compiles["build_s"] = round(time.time() - t0, 2)
     print(f"build: {compiles['build_s']}s", file=sys.stderr)
 
-    # NOTE on jit closures vs arguments: full-step programs capture the
-    # problem arrays as closure constants — XLA's buffer assignment handles
-    # constants well, while the same program with argument arrays plans
-    # ~4x HBM and OOMs at this scale (measured).  Only the small
-    # matvec-timing programs pass big arrays as arguments, because the
-    # remote-compile relay size-limits serialized constants
-    # (parallel/bigargs.py).
+    # NOTE on jit closures vs arguments: big problem arrays travel as jit
+    # ARGUMENTS (parallel/bigargs.py), not closure constants — embedded
+    # constants ship inside the serialized program through the
+    # remote-compile relay, which (a) made the 1M first-compile take
+    # minutes (~400 MB request) and (b) now exceeds the relay's request
+    # size limit outright (HTTP 413).  Measured at 1M: argument mode
+    # compiles in ~34 s and runs 1.4 it/s — strictly better.
+
+    big_names, big_vals = bigargs.split_big(fmv)
 
     # ONE program for the adaptive phase and the fixed-CG steady state:
     # damping / cg_tol / cg_maxiter / stall_limit / alpha are all traced.
     # alpha: damped-step scaling min(0.25 lam^-0.05, 0.75)
     # (BundleAdjustment.java:392-394), applied to dx before the update.
-    def lm_fn(st, lam, cg_tol, cg_maxiter, stall, alpha):
+    def lm_fn(big_, st, lam, cg_tol, cg_maxiter, stall, alpha):
+        fv = bigargs.merge(fmv, big_names, big_)
         dxp, dxc, dxg, b, it = engine.lm_step(
-            fmv, st, spec, lam, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+            fv, st, spec, lam, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
             couple_global=True, use_pallas=on_tpu, stall_limit=stall)
         st2, mdx = rcs.apply_step(st, problem, alpha * dxp, alpha * dxc,
                                   alpha * dxg)
         return st2, mdx, it
 
-    lm_ = jax.jit(lm_fn)
+    lm0_ = jax.jit(lm_fn)
+
+    def lm_(st, *rest):
+        return lm0_(big_vals, st, *rest)
 
     def lm(st, lam, cg_tol=1e-4, cg_maxiter=100, stall=8):
         alpha = min(0.25 * lam ** -0.05, 0.75) if lam > 0 else 1.0
@@ -529,27 +535,51 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
     t0 = time.time()
 
-    # three staged programs instead of one: the one-shot jit holds the
-    # linearisation (~4 GB at 12M obs), S, and the inverse's u x u
-    # temporaries at once — RESOURCE_EXHAUSTED at u = 30k (config 5).
-    # Staging + donation caps the peak at (blocks + S) | (L + Q) |
-    # (blocks + Q); only ~25 ms dispatch overhead per stage.
-    def stage_S(st):
-        bl = engine.linearize(fmp, st, spec, jnp.asarray(0.0, dtype))
-        return cov_direct.assemble_reduced_dense(fmp, bl)
+    # memory-based dispatch: one fused program when the linearisation, S
+    # and the inverse's u x u temporaries fit together (fast path — no
+    # double linearise, single dispatch); otherwise three staged programs
+    # with buffer donation, capping the peak at (blocks + S) | (L + Q) |
+    # (blocks + Q) — the fused jit RESOURCE_EXHAUSTEDs at u = 30k next to
+    # a 1M-point problem (config 5).
+    u_red = 6 * num_images + G
+    est_fused = (90 * N + 5 * u_red * u_red + 72 * N) * 4  # bytes, rough
+    fused_ok = est_fused < 9e9
 
-    stage_S_ = jax.jit(stage_S)
-    inv_ = jax.jit(cov_direct.reduced_inverse, donate_argnums=0)
+    # float arrays as args; int index arrays stay constants (see
+    # bigargs.split_big float_only — argument indices OOM the XLA gather)
+    cb_names, cb_vals = bigargs.split_big(fmp, float_only=True)
 
-    def stage_Q(st, Qred):
-        bl = engine.linearize(fmp, st, spec, jnp.asarray(0.0, dtype))
-        return cov_direct.point_covariance_dense(fmp, bl, Qred)
+    if fused_ok:
+        def cov_all(cbig, st):
+            fp = bigargs.merge(fmp, cb_names, cbig)
+            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
+            S = cov_direct.assemble_reduced_dense(fp, bl)
+            Qred = cov_direct.reduced_inverse(S)
+            return cov_direct.point_covariance_dense(fp, bl, Qred)
 
-    stage_Q_ = jax.jit(stage_Q, donate_argnums=1)
+        cov0_ = jax.jit(cov_all)
 
-    def covf_(st):
-        Qred = inv_(stage_S_(st))
-        return stage_Q_(st, Qred)
+        def covf_(st):
+            return cov0_(cb_vals, st)
+    else:
+        def stage_S(cbig, st):
+            fp = bigargs.merge(fmp, cb_names, cbig)
+            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
+            return cov_direct.assemble_reduced_dense(fp, bl)
+
+        stage_S_ = jax.jit(stage_S)
+        inv_ = jax.jit(cov_direct.reduced_inverse, donate_argnums=0)
+
+        def stage_Q(cbig, st, Qred):
+            fp = bigargs.merge(fmp, cb_names, cbig)
+            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
+            return cov_direct.point_covariance_dense(fp, bl, Qred)
+
+        stage_Q_ = jax.jit(stage_Q, donate_argnums=2)
+
+        def covf_(st):
+            Qred = inv_(stage_S_(cb_vals, st))
+            return stage_Q_(cb_vals, st, Qred)
     Q = covf_(state)
     jax.block_until_ready(Q)
     compiles["cov_compile_s"] = round(time.time() - t0, 2)
@@ -585,14 +615,16 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         dt_xc, _ = _time_chain(xla_chol, 5, _chol_feed, Sspd)
         out["xla_cholesky_gflops"] = round(chol_flops / dt_xc / 1e9, 1)
 
+        # block=512 measured best on v5e (tools/exp_tpchol: 12.7 vs 5.7
+        # TFLOP/s at 256 — the cyclic unrolled kernel, 8 steps at n=4096)
         mesh = Mesh(np.array(jax.devices()[:1]), ("tp",))
         tp_chol = jax.jit(lambda S: tp.distributed_cholesky(
-            S, mesh, block=256))
+            S, mesh, block=512))
         dt_tc, _ = _time_chain(tp_chol, 5, _chol_feed, Sspd)
         out["tp_cholesky_gflops"] = round(chol_flops / dt_tc / 1e9, 1)
         out["tp_cholesky_n"] = n_fact
         print(f"cholesky n={n_fact}: xla {out['xla_cholesky_gflops']} "
-              f"GFLOP/s, tp(1dev,block=256) {out['tp_cholesky_gflops']} "
+              f"GFLOP/s, tp(1dev,block=512) {out['tp_cholesky_gflops']} "
               f"GFLOP/s", file=sys.stderr)
     except Exception as exc:  # record, don't fail the bench
         out["tp_cholesky_error"] = str(exc)[:200]

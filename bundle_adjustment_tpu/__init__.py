@@ -32,8 +32,18 @@ from .solver.adjustment import (
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # lazy: the scale driver pulls in the whole parallel package
+    if name == "ScaleBundleAdjustment":
+        from .parallel.solver import ScaleBundleAdjustment
+
+        return ScaleBundleAdjustment
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 __all__ = [
     "BundleAdjustment",
+    "ScaleBundleAdjustment",
     "Camera",
     "DistortionSpec",
     "DistortionType",

@@ -46,19 +46,22 @@ from jax.experimental.pallas import tpu as pltpu
 P_VALUE = jax.lax.Precision.HIGHEST
 
 
-def _dot_oh(v, oh_bf16, contract_last=False):
-    """f32-exact product of f32 ``v`` with an exact-in-bf16 0/1 matrix.
+def _dot_oh(v, oh_bf16, contract_last=False, passes=3):
+    """Near-f32 product of f32 ``v`` with an exact-in-bf16 0/1 matrix.
 
     v [r, K] @ oh [K, nb] (or, with ``contract_last``, v [r, nb] (x)
-    oh [H, nb] contracting nb).  The value operand is split into three
-    bf16 chunks v = v1 + v2 + v3 + O(2^-27 |v|); each chunk multiplies the
-    exact one-hot on the native bf16 MXU path with f32 accumulation."""
+    oh [H, nb] contracting nb).  The value operand is split into bf16
+    chunks; each chunk multiplies the exact one-hot on the native bf16 MXU
+    path with f32 accumulation.  ``passes``: 3 (default) is f32-exact
+    (residual O(2^-27 |v|)); 2 carries O(2^-16 |v|) relative error — fine
+    for the CG OPERATOR (solve accuracy needs ~1e-2 relative; the
+    measured-disastrous case was the single-pass 4e-3), NOT for the
+    assembly's gradient rows (cancelling reductions — keep 3)."""
     f32 = jnp.float32
     bf = jnp.bfloat16
     v1 = v.astype(bf)
     r1 = v - v1.astype(f32)
     v2 = r1.astype(bf)
-    v3 = (r1 - v2.astype(f32)).astype(bf)
     if contract_last:
         dn = (((1,), (1,)), ((), ()))
 
@@ -68,6 +71,9 @@ def _dot_oh(v, oh_bf16, contract_last=False):
     else:
         def d(a):
             return jnp.dot(a, oh_bf16, preferred_element_type=f32)
+    if passes == 2:
+        return d(v1) + d(v2)
+    v3 = (r1 - v2.astype(f32)).astype(bf)
     return d(v1) + d(v2) + d(v3)
 
 
@@ -267,7 +273,7 @@ def make_cam_gather(p, h: int | None = None, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
-                   outc_ref, outg_ref, *, views, g, pb, H, W):
+                   outc_ref, outg_ref, *, views, g, pb, H, W, passes=3):
     f32 = jnp.float32
     off = _offsets(g)
     nb = views * pb
@@ -278,7 +284,7 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
 
     # gather xcr[a, n] = xc[img[n], a] via the factored one-hot
     xcT = xcT_ref[:]                                    # [8W, H]
-    T1 = _dot_oh(xcT, onehot_hi)                        # [8W, NB]
+    T1 = _dot_oh(xcT, onehot_hi, passes=passes)         # [8W, NB]
     if W == 1:
         xcr = T1
     else:
@@ -311,16 +317,18 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
     qc8 = jnp.concatenate([qc, jnp.zeros((2, nb), f32)], axis=0)
     # scatter: out column m' = w*H + h (w-major; unscrambled on the host)
     if W == 1:
-        contrib_c = _dot_oh(qc8, onehot_hi, contract_last=True)  # [8, H]
+        contrib_c = _dot_oh(qc8, onehot_hi, contract_last=True,
+                            passes=passes)                       # [8, H]
     else:
         B = jnp.concatenate([qc8 * lo_mask[w] for w in range(W)], axis=0)
-        contrib_c = _dot_oh(B, onehot_hi, contract_last=True)    # [8W, H]
+        contrib_c = _dot_oh(B, onehot_hi, contract_last=True,
+                            passes=passes)                       # [8W, H]
 
     qg = pk[jg:jg + g] * tv0 + pk[jg + g:jg + 2 * g] * tv1  # [G, NB]
     g_pad8 = outg_ref.shape[0]
     qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
     ones = jnp.ones((nb, 8), jnp.bfloat16)
-    contrib_g = _dot_oh(qg, ones)                            # [G_pad8, 8]
+    contrib_g = _dot_oh(qg, ones, passes=passes)             # [G_pad8, 8]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -332,8 +340,13 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
 
 
 def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
-                interpret: bool = False):
-    """Returns fn(xc [M, 6], xg [G]) -> (S@x)_c [M, 6], (S@x)_g [G]."""
+                interpret: bool = False, passes: int = 3):
+    """Returns fn(xc [M, 6], xg [G]) -> (S@x)_c [M, 6], (S@x)_g [G].
+
+    ``passes``: bf16 chunk count of the one-hot products (see `_dot_oh`);
+    2 trades ~2^-16 relative operator error for one third less MXU work —
+    safe for CG (operator, not a cancelling rhs), and the per-step rhs
+    and assembly stay 3-pass exact in `prepare_pallas`."""
     P, V, G = pp.num_points, pp.views, pp.g
     m_pad, H = pp.m_pad, pp.h
     if pb is not None and pb != pp.pb:
@@ -347,7 +360,8 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
     g_lane = max(128, ((G + 127) // 128) * 128)
     w8 = 8 * W
 
-    kernel = functools.partial(_matvec_kernel, views=V, g=G, pb=pb, H=H, W=W)
+    kernel = functools.partial(_matvec_kernel, views=V, g=G, pb=pb, H=H,
+                               W=W, passes=passes)
     call = pl.pallas_call(
         kernel,
         grid=grid,

@@ -81,7 +81,6 @@ class Refiner:
         self.couple_global = couple_global
         self.use_pallas = use_pallas
         self.fmp32 = engine.fm_problem(problem32)
-        self._cam_gather = None
         if use_pallas:
             # the Pallas kernels consume the view-major blocked lane order
             from . import kernels
@@ -89,7 +88,6 @@ class Refiner:
             self.fmp32 = engine.to_view_major(
                 self.fmp32, kernels.choose_pb(self.fmp32.num_points,
                                               self.fmp32.views))
-            self._cam_gather = kernels.make_cam_gather(self.fmp32)
         self._gdev = (jax.devices("cpu")[0]
                       if gradient_device == "cpu" else None)
         if self._gdev is not None:
@@ -114,6 +112,17 @@ class Refiner:
                        if has_dpg else None)
         self._grad = jax.jit(
             lambda st64: self.gradient64(self.fmp64, st64))
+        # big problem arrays travel as jit ARGUMENTS: embedded constants
+        # ship inside the serialized program through the remote-compile
+        # relay — minutes of compile at 1M and, past ~400 MB, an outright
+        # request-size rejection (parallel/bigargs.py)
+        from . import bigargs
+
+        # float_only: the step's ops.hxp image reduction gathers with
+        # img_perm — argument index arrays explode XLA's gather lowering
+        # (see bigargs.split_big)
+        self._big_names, self._big_vals = bigargs.split_big(
+            self.fmp32, float_only=True)
         self._step = jax.jit(self._step_impl, static_argnames=(
             "cg_tol", "cg_maxiter", "stall_limit"))
 
@@ -151,19 +160,21 @@ class Refiner:
             omega0 = omega0 + jnp.dot(wdpg, jnp.linalg.solve(cov64, wdpg))
         return jnp.stack(b.bp, axis=1), bc, b.bg, omega0, wsb, wdpg
 
-    def _step_impl(self, s: hilo.HiLoState, damping, bp32, bc32, bg32,
-                   wsb32, wdpg32, cg_tol=1e-7, cg_maxiter=400,
+    def _step_impl(self, big_, s: hilo.HiLoState, damping, bp32, bc32,
+                   bg32, wsb32, wdpg32, cg_tol=1e-7, cg_maxiter=400,
                    stall_limit=200):
-        from . import freenet
+        from . import bigargs, freenet
 
-        p32 = self.fmp32
+        p32 = bigargs.merge(self.fmp32, self._big_names, big_)
+        cam_gather = None
         if self.use_pallas:
             from . import kernels
 
+            cam_gather = kernels.make_cam_gather(p32)
             b, _rc, _rg, Minv, pp = kernels.prepare_pallas(
                 p32, s.hi, self.spec, damping,
                 couple_global=self.couple_global, state_lo=s.lo,
-                cam_gather=self._cam_gather)
+                cam_gather=cam_gather)
         else:
             b, _rc, _rg, Minv = engine.prepare(
                 p32, s.hi, self.spec, damping,
@@ -204,7 +215,7 @@ class Refiner:
                 self.problem32, ext, engine.point_ops(p32, b), xc, xg)
         else:
             dxp = engine.back_substitute_points(p32, b, xc, xg,
-                                                cam_gather=self._cam_gather)
+                                                cam_gather=cam_gather)
         new_s, max_dx = hilo.apply_step(s, dxp, xc, xg)
         return new_s, max_dx, it
 
@@ -233,9 +244,9 @@ class Refiner:
              cg_tol=1e-7, cg_maxiter=400, stall_limit=200):
         bp32, bc32, bg32, wsb32, wdpg32, omega0 = self._gradient(s)
         new_s, max_dx, it = self._step(
-            s, jnp.asarray(damping, jnp.float32), bp32, bc32, bg32, wsb32,
-            wdpg32, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-            stall_limit=stall_limit)
+            self._big_vals, s, jnp.asarray(damping, jnp.float32), bp32,
+            bc32, bg32, wsb32, wdpg32, cg_tol=cg_tol,
+            cg_maxiter=cg_maxiter, stall_limit=stall_limit)
         return new_s, max_dx, omega0, it
 
     def refine(self, state32: ParamState, tolerance: float = 1e-6,

@@ -238,15 +238,119 @@ def _check_dims(n, D, block):
             f"(pad with pad_spd)")
 
 
+#: unroll limit for the shrinking (block-cyclic) factorization; above it
+#: the masked fori_loop fallback keeps compile time bounded
+_MAX_UNROLL = 64
+
+
+def _chol_cyclic(A, bs, axis, D):
+    """shard_map body: blocked right-looking Cholesky with BLOCK-CYCLIC row
+    distribution and a Python-unrolled outer loop, so every trailing update
+    is a STATIC shrinking slice — [rows > k, cols > k] only — instead of
+    the fori_loop fallback's full-width masked matmul (~3x the useful
+    flops; tp_cholesky measured 12-23% of the single-device XLA Cholesky
+    rate, VERDICT r3 weak-6).
+
+    ``A``: [nbl*bs, n] local rows; local block j holds GLOBAL block row
+    j*D + d (cyclic), so the per-device trailing row count shrinks in step
+    with the elimination — the ScaLAPACK pdpotrf distribution."""
+    n_loc, n = A.shape
+    nbl = n_loc // bs
+    nb = nbl * D
+    d = jax.lax.axis_index(axis)
+    Ab = A.reshape(nbl, bs, n)
+
+    for k in range(nb):
+        g0 = k * bs
+        owner = k % D
+        jloc = k // D      # local index of global block k on its owner
+        own = (d == owner)
+
+        # replicate the owner's current block row (trailing columns only)
+        Rk = jax.lax.psum(
+            jnp.where(own, Ab[jloc, :, g0:], 0.0), axis)     # [bs, n-g0]
+        Lkk = jnp.linalg.cholesky(Rk[:, :bs])
+
+        # local factorization panel over blocks that can still be trailing
+        jsl = (k + 1) // D
+        tb = nbl - jsl
+        if tb > 0:
+            Pan = Ab[jsl:, :, g0:g0 + bs]                    # [tb, bs, bs]
+            gids = jnp.arange(jsl, nbl) * D + d
+            tmask = (gids > k).astype(A.dtype)[:, None, None]
+            W = jax.lax.linalg.triangular_solve(
+                Lkk, Pan.reshape(tb * bs, bs), left_side=False, lower=True,
+                transpose_a=True).reshape(tb, bs, bs) * tmask
+        else:
+            W = jnp.zeros((0, bs, bs), A.dtype)
+
+        if k + 1 < nb:
+            # natural-order global trailing panel: gather, interleave the
+            # cyclic blocks back to (j, d)-order, drop the <= k blocks
+            Wall = jax.lax.all_gather(W, axis, axis=0)       # [D, tb, bs, bs]
+            Wnat = Wall.transpose(1, 0, 2, 3).reshape(tb * D * bs, bs)
+            drop = (k + 1 - jsl * D) * bs
+            Wtrail = Wnat[drop:]                             # [(nb-k-1)bs, bs]
+            upd = jnp.matmul(W.reshape(tb * bs, bs), Wtrail.T,
+                             precision=_PREC)
+            Ab = Ab.at[jsl:, :, g0 + bs:].add(
+                -upd.reshape(tb, bs, (nb - k - 1) * bs))
+
+        # factor write-back: trailing blocks get W (finalised rows among
+        # them get 0 — their strict upper), the owner's block row gets Lkk
+        # with its trailing columns zeroed
+        if tb > 0:
+            Ab = Ab.at[jsl:, :, g0:g0 + bs].set(W)
+        Ab = Ab.at[jloc, :, g0:g0 + bs].set(
+            jnp.where(own, Lkk, Ab[jloc, :, g0:g0 + bs]))
+        Ab = Ab.at[jloc, :, g0 + bs:].set(
+            jnp.where(own, 0.0, Ab[jloc, :, g0 + bs:]))
+
+    return Ab.reshape(n_loc, n)
+
+
+def _cyclic_perm(nb, D):
+    """Natural block order -> cyclic placement: position d*nbl + j holds
+    global block j*D + d (device d's contiguous shard = its cyclic set)."""
+    nbl = nb // D
+    return np.array([j * D + d for d in range(D) for j in range(nbl)])
+
+
 def distributed_cholesky(S, mesh: Mesh, axis: str = AXIS, block: int = 8):
-    """Row-sharded blocked Cholesky: returns L (lower, same sharding)."""
+    """Row-sharded blocked Cholesky: returns L (lower, same sharding,
+    natural row order).  Internally the factorization runs on a
+    block-cyclic row distribution with statically shrinking trailing
+    updates (`_chol_cyclic`); the two row permutations are device-side
+    gathers.  Falls back to the masked fori_loop kernel when the block
+    count exceeds the unroll budget."""
     D = mesh.shape[axis]
-    _check_dims(S.shape[0], D, block)
-    S = jax.device_put(S, NamedSharding(mesh, P(axis, None)))
-    f = jax.shard_map(lambda A: _chol_local(A, block, axis), mesh=mesh,
+    n = S.shape[0]
+    _check_dims(n, D, block)
+    nb = n // block
+    if nb > _MAX_UNROLL:
+        S = jax.device_put(S, NamedSharding(mesh, P(axis, None)))
+        f = jax.shard_map(lambda A: _chol_local(A, block, axis), mesh=mesh,
+                          in_specs=(P(axis, None),), out_specs=P(axis, None),
+                          check_vma=False)
+        return jax.jit(f)(S)
+
+    perm = _cyclic_perm(nb, D)
+    inv = np.argsort(perm)
+    f = jax.shard_map(lambda A: _chol_cyclic(A, block, axis, D), mesh=mesh,
                       in_specs=(P(axis, None),), out_specs=P(axis, None),
                       check_vma=False)
-    return jax.jit(f)(S)
+
+    @jax.jit
+    def run(S):
+        Sc = S.reshape(nb, block, n)[perm].reshape(n, n)
+        Sc = jax.lax.with_sharding_constraint(
+            Sc, NamedSharding(mesh, P(axis, None)))
+        Lc = f(Sc)
+        L = Lc.reshape(nb, block, n)[inv].reshape(n, n)
+        return jax.lax.with_sharding_constraint(
+            L, NamedSharding(mesh, P(axis, None)))
+
+    return run(jax.device_put(S, NamedSharding(mesh, P(axis, None))))
 
 
 def distributed_cholesky_solve(L, r, mesh: Mesh, axis: str = AXIS,

@@ -325,3 +325,31 @@ def test_cam_gather_kernel_interpret():
         np.testing.assert_allclose(np.asarray(rows[:6]).T, np.asarray(ref),
                                    rtol=0, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(rows[6:]), 0.0)
+
+
+def test_pallas_matvec_two_pass_operator_error(small_problem):
+    """passes=2 one-hot products: operator error within the documented
+    2^-16-relative bound (vs the f64 XLA matvec)."""
+    from bundle_adjustment_tpu.parallel import kernels
+
+    problem, state, spec = small_problem
+    damping = jnp.asarray(1e-3)
+    p = engine.fm_problem(problem)
+    pv = engine.to_view_major(p, kernels.choose_pb(p.num_points, p.views))
+    b, rc, rg, Minv = engine.prepare(pv, state, spec, damping)
+    b32 = jax.tree.map(lambda x: x.astype(jnp.float32)
+                       if x.dtype == jnp.float64 else x, b)
+    pp = kernels.pack_fm(b32, pv)
+    rng = np.random.default_rng(2)
+    xc = jnp.asarray(rng.normal(size=rc.shape), jnp.float32)
+    xg = jnp.asarray(rng.normal(size=rg.shape), jnp.float32)
+    mv2 = kernels.make_matvec(pp, b32.extra_c.astype(jnp.float32),
+                              b32.extra_g.astype(jnp.float32),
+                              interpret=True, passes=2)
+    oc, og = mv2(xc, xg)
+    oc_ref, og_ref = engine.schur_matvec(pv, b, xc.astype(jnp.float64),
+                                         xg.astype(jnp.float64))
+    scale = float(jnp.max(jnp.abs(oc_ref)))
+    np.testing.assert_allclose(oc, oc_ref, rtol=3e-4, atol=3e-4 * scale)
+    np.testing.assert_allclose(og, og_ref, rtol=3e-4,
+                               atol=3e-4 * float(jnp.max(jnp.abs(og_ref))))

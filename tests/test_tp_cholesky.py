@@ -99,3 +99,27 @@ def test_multi_rhs_and_cofactor_columns():
     Q = tp.reduced_cofactor_columns(L, cols, n, mesh, block=4)
     Qref = np.linalg.inv(np.asarray(S))[:, cols]
     np.testing.assert_allclose(np.asarray(Q), Qref, rtol=1e-8, atol=1e-12)
+
+
+def test_cyclic_vs_fallback_paths():
+    """The unrolled block-cyclic kernel and the masked fori_loop fallback
+    produce the same factor (natural layout) — exercised by crossing the
+    unroll budget."""
+    rng = np.random.default_rng(9)
+    n = 256
+    A = rng.standard_normal((n, n))
+    S = jnp.asarray(A @ A.T + n * np.eye(n))
+    mesh = _mesh()
+    Lref = jnp.linalg.cholesky(S)
+    # block=16 -> nb=16 (unrolled cyclic); budget forced to 1 -> fallback
+    L_unrolled = tp.distributed_cholesky(S, mesh, block=16)
+    old = tp._MAX_UNROLL
+    try:
+        tp._MAX_UNROLL = 1
+        L_fallback = tp.distributed_cholesky(S, mesh, block=16)
+    finally:
+        tp._MAX_UNROLL = old
+    np.testing.assert_allclose(np.asarray(L_unrolled), np.asarray(Lref),
+                               rtol=1e-10, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(L_fallback), np.asarray(Lref),
+                               rtol=1e-10, atol=1e-9)
