@@ -96,13 +96,36 @@ def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
         target = max(128, int(3.0e8 / (24 * K)))
         chunk = _choose_chunk(P_, min(4096, target))
 
-    # per-image full blocks ------------------------------------------------
+    # per-image full blocks: chunked scatter-add over observations — the
+    # [Nip, F] permutation-gather of _image_sum_stack decomposes into
+    # per-column 128x-tile-padded copies when the rows come from jit
+    # arguments (bigargs mode; measured 20 x 586 MB HLO temps = OOM), and
+    # the chunked form never materialises [N, F] at all
     iu = np.triu_indices(6)
-    tri_rows = [b.Jc[e] * b.PJc[f] + b.Jc[6 + e] * b.PJc[6 + f]
+    F99 = 21 + 6 * G2
+    img = p.obs_image.astype(jnp.int32)
+    N = img.shape[0]
+    cV0 = _choose_chunk(N, 65536)
+
+    def red_body(i, acc):
+        o0 = i * cV0
+
+        def sl(r):
+            return jax.lax.dynamic_slice(r, (o0,), (cV0,))
+
+        jc = [sl(r) for r in b.Jc]
+        pjc = [sl(r) for r in b.PJc]
+        pjg = [sl(r) for r in b.PJg]
+        rows = [jc[e] * pjc[f] + jc[6 + e] * pjc[6 + f]
                 for e, f in zip(*iu)]
-    hcg_rows = [b.Jc[e] * b.PJg[g] + b.Jc[6 + e] * b.PJg[G2 + g]
-                for e in range(6) for g in range(G2)]
-    red = engine._image_sum_stack(p, tri_rows + hcg_rows)
+        rows += [jc[e] * pjg[g] + jc[6 + e] * pjg[G2 + g]
+                 for e in range(6) for g in range(G2)]
+        feat = jnp.stack(rows, axis=1)                    # [cV0, F99]
+        im = jax.lax.dynamic_slice(img, (o0,), (cV0,))
+        return acc.at[im].add(feat)
+
+    red = jax.lax.fori_loop(0, N // cV0, red_body,
+                            jnp.zeros((M, F99), dt))
     Hcc = jnp.zeros((M, 6, 6), dt)
     Hcc = Hcc.at[:, iu[0], iu[1]].set(red[:, :21])
     Hcc = Hcc.at[:, iu[1], iu[0]].set(red[:, :21])

@@ -281,7 +281,13 @@ def _image_sum_stack(p: FMProblem, rows):
     """Per-image sums of F feature rows: returns [M, F].
 
     One row-gather into image-sorted order ([Nip, F]) + 512-block sums +
-    cumsum-diff; identical numerics to rcs._seg_image."""
+    cumsum-diff; identical numerics to rcs._seg_image.
+
+    NOTE: with the feature rows built from jit ARGUMENTS (bigargs mode)
+    XLA decomposes the [Nip, F] gather into per-column [Nip, 1] copies
+    tile-padded 128x (measured: 20 x 586 MB HLO temps = OOM); callers on
+    that path should reduce chunk-wise with scatter-adds instead
+    (cov_direct.assemble_reduced_dense does)."""
     x = jnp.stack(rows, axis=1)  # [N, F]
     xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
     xi = xp[p.img_perm]  # [Nip, F]
