@@ -608,19 +608,35 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         Sspd = jnp.asarray(A @ A.T + n_fact * np.eye(n_fact, dtype=np.float32))
         chol_flops = n_fact ** 3 / 3
 
-        xla_chol = jax.jit(jnp.linalg.cholesky)
-        def _chol_feed(L, a):
-            return (Sspd + 1e-12 * (L + L.T),)
-
-        dt_xc, _ = _time_chain(xla_chol, 5, _chol_feed, Sspd)
-        out["xla_cholesky_gflops"] = round(chol_flops / dt_xc / 1e9, 1)
-
-        # block=512 measured best on v5e (tools/exp_tpchol: 12.7 vs 5.7
-        # TFLOP/s at 256 — the cyclic unrolled kernel, 8 steps at n=4096)
+        # KC INDEPENDENT factorizations of distinct scaled copies inside
+        # ONE jitted program, every result consumed, one fetch per call —
+        # the only harness that survives the relay (call-level chains hit
+        # f32 feed fixed points -> bit-identical queued executions get
+        # elided; data-dependent in-program shard_map chains hit a TPU
+        # scheduling pathology measured at 600x).  Verified consistent
+        # with per-call distinct-input timing.
+        KC = 4
         mesh = Mesh(np.array(jax.devices()[:1]), ("tp",))
-        tp_chol = jax.jit(lambda S: tp.distributed_cholesky(
-            S, mesh, block=512))
-        dt_tc, _ = _time_chain(tp_chol, 5, _chol_feed, Sspd)
+
+        def _batchk(fac):
+            def f(S):
+                acc = jnp.float32(0)
+                for k in range(KC):
+                    L = fac(S * (1.0 + 1e-6 * (k + 1)))
+                    acc = acc + L[0, 0] + L[n_fact - 1, n_fact - 1]
+                return acc
+            return jax.jit(f)
+
+        def _measure(f):
+            _fetch(f(Sspd))
+            t1 = time.time(); _fetch(f(Sspd + 1.0)); t1 = time.time() - t1
+            t2 = time.time(); _fetch(f(Sspd + 2.0)); t2 = time.time() - t2
+            return min(t1, t2) / KC
+
+        dt_xc = _measure(_batchk(jnp.linalg.cholesky))
+        out["xla_cholesky_gflops"] = round(chol_flops / dt_xc / 1e9, 1)
+        dt_tc = _measure(_batchk(
+            lambda S: tp.cholesky_traced(S, mesh, block=512)))
         out["tp_cholesky_gflops"] = round(chol_flops / dt_tc / 1e9, 1)
         out["tp_cholesky_n"] = n_fact
         print(f"cholesky n={n_fact}: xla {out['xla_cholesky_gflops']} "

@@ -316,6 +316,37 @@ def _cyclic_perm(nb, D):
     return np.array([j * D + d for d in range(D) for j in range(nbl)])
 
 
+def cholesky_traced(S, mesh: Mesh, axis: str = AXIS, block: int = 8):
+    """Traceable (jit-composable) body of `distributed_cholesky`: takes and
+    returns the natural-row-order matrix with a row-sharded layout
+    constraint.  Use this inside a larger jitted program (e.g. a chained
+    benchmark or a solver step); `distributed_cholesky` wraps it with the
+    device placement."""
+    D = mesh.shape[axis]
+    n = S.shape[0]
+    _check_dims(n, D, block)
+    nb = n // block
+    if nb > _MAX_UNROLL:
+        f = jax.shard_map(lambda A: _chol_local(A, block, axis), mesh=mesh,
+                          in_specs=(P(axis, None),), out_specs=P(axis, None),
+                          check_vma=False)
+        return f(jax.lax.with_sharding_constraint(
+            S, NamedSharding(mesh, P(axis, None))))
+
+    perm = _cyclic_perm(nb, D)
+    inv = np.argsort(perm)
+    f = jax.shard_map(lambda A: _chol_cyclic(A, block, axis, D), mesh=mesh,
+                      in_specs=(P(axis, None),), out_specs=P(axis, None),
+                      check_vma=False)
+    Sc = S.reshape(nb, block, n)[perm].reshape(n, n)
+    Sc = jax.lax.with_sharding_constraint(
+        Sc, NamedSharding(mesh, P(axis, None)))
+    Lc = f(Sc)
+    L = Lc.reshape(nb, block, n)[inv].reshape(n, n)
+    return jax.lax.with_sharding_constraint(
+        L, NamedSharding(mesh, P(axis, None)))
+
+
 def distributed_cholesky(S, mesh: Mesh, axis: str = AXIS, block: int = 8):
     """Row-sharded blocked Cholesky: returns L (lower, same sharding,
     natural row order).  Internally the factorization runs on a
@@ -323,34 +354,9 @@ def distributed_cholesky(S, mesh: Mesh, axis: str = AXIS, block: int = 8):
     updates (`_chol_cyclic`); the two row permutations are device-side
     gathers.  Falls back to the masked fori_loop kernel when the block
     count exceeds the unroll budget."""
-    D = mesh.shape[axis]
-    n = S.shape[0]
-    _check_dims(n, D, block)
-    nb = n // block
-    if nb > _MAX_UNROLL:
-        S = jax.device_put(S, NamedSharding(mesh, P(axis, None)))
-        f = jax.shard_map(lambda A: _chol_local(A, block, axis), mesh=mesh,
-                          in_specs=(P(axis, None),), out_specs=P(axis, None),
-                          check_vma=False)
-        return jax.jit(f)(S)
-
-    perm = _cyclic_perm(nb, D)
-    inv = np.argsort(perm)
-    f = jax.shard_map(lambda A: _chol_cyclic(A, block, axis, D), mesh=mesh,
-                      in_specs=(P(axis, None),), out_specs=P(axis, None),
-                      check_vma=False)
-
-    @jax.jit
-    def run(S):
-        Sc = S.reshape(nb, block, n)[perm].reshape(n, n)
-        Sc = jax.lax.with_sharding_constraint(
-            Sc, NamedSharding(mesh, P(axis, None)))
-        Lc = f(Sc)
-        L = Lc.reshape(nb, block, n)[inv].reshape(n, n)
-        return jax.lax.with_sharding_constraint(
-            L, NamedSharding(mesh, P(axis, None)))
-
-    return run(jax.device_put(S, NamedSharding(mesh, P(axis, None))))
+    _check_dims(S.shape[0], mesh.shape[axis], block)
+    S = jax.device_put(S, NamedSharding(mesh, P(axis, None)))
+    return jax.jit(lambda S_: cholesky_traced(S_, mesh, axis, block))(S)
 
 
 def distributed_cholesky_solve(L, r, mesh: Mesh, axis: str = AXIS,
