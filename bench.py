@@ -199,16 +199,19 @@ V5E_BF16_TFLOPS = 197.0
 
 def matvec_cost(N, G, V):
     """(flops, bytes) of one implicit Schur matvec in the feature-major
-    layout: the packed [36+4G, N] rows are read once (bandwidth-bound)."""
+    layout: the LEAN packed prefix [~21+2G rows, N] is read once
+    (bandwidth-bound; P-weighted products recombined in-kernel)."""
     flops_per_obs = (
-        2 * (2 * 6 + 2 * G)      # t rows: PJc xc + PJg xg
+        2 * (2 * 6 + 2 * G)      # s rows: Jc xc + Jg xg (+ W2 recombine)
+        + 6
         + 3 * 3 + 3              # jt rows + point reduce
         + 15 / V                 # sym3 Hpp^{-1} apply per point
-        + 2 * 6 + 2              # u rows, tv
+        + 2 * 6 + 2 + 6          # r rows, W2, tv
         + 6 * 3 + 6              # qc rows + image reduce
         + G * 3 + 2 * G          # qg rows + global reduce
     )
-    fbytes = (36 + 4 * G) * 4 * N    # packed rows (dominant)
+    lean_pad = ((21 + 2 * G + 7) // 8) * 8
+    fbytes = lean_pad * 4 * N        # lean packed prefix (dominant)
     return flops_per_obs * N, fbytes
 
 

@@ -816,7 +816,7 @@ def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
     if use_pallas:
         from . import kernels
 
-        pp = kernels.pack_fm(b, p)
+        pp = kernels.pack_fm(b, p, lean_only=True)
         arrs = jax.lax.optimization_barrier(
             (pp.packed, pp.obs_img, pp.hppinv))
         pp = pp._replace(packed=arrs[0], obs_img=arrs[1], hppinv=arrs[2])

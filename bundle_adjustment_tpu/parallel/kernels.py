@@ -91,10 +91,21 @@ class PackedFM(NamedTuple):
     h: int                # hi-level one-hot size (W = m_pad // h)
 
 
-# packed row offsets: Jp(6) PJp(6) Jc(12) PJc(12) Jg(2G) PJg(2G) [Pw(2)]
+# packed row layout: a LEAN PREFIX [Jp(6) Jc(12) Jg(2G) wxx wxy wyy]
+# holding everything the CG matvec needs (P-weighted products are
+# recombined in-kernel via the 2x2 weight rows: t = W2 s, u = W2 r), then
+# a TAIL [PJp(6) PJc(12) PJg(2G) (Pw 2)] for the fused assembly kernel.
+# The matvec BlockSpec reads only the first f_lean_pad rows of the SAME
+# array — 40-45%% less HBM traffic in the bandwidth-bound CG loop, no
+# second copy.
 def _offsets(G, with_pw=False):
-    return dict(Jp=0, PJp=6, Jc=12, PJc=24, Jg=36, PJg=36 + 2 * G,
-                Pw=36 + 4 * G, F=36 + 4 * G + (2 if with_pw else 0))
+    lean = 21 + 2 * G
+    lean_pad = ((lean + 7) // 8) * 8
+    return dict(Jp=0, Jc=6, Jg=18, W=18 + 2 * G, F_lean=lean,
+                F_lean_pad=lean_pad,
+                PJp=lean_pad, PJc=lean_pad + 6, PJg=lean_pad + 18,
+                Pw=lean_pad + 18 + 2 * G,
+                F=lean_pad + 18 + 2 * G + (2 if with_pw else 0))
 
 
 def choose_h(m_pad: int, row_cost: float, h_max: int = 512) -> int:
@@ -114,24 +125,33 @@ def choose_h(m_pad: int, row_cost: float, h_max: int = 512) -> int:
 
 
 def pack_fm(b, p, dtype=jnp.float32, with_pw: bool = False,
-            h: int | None = None) -> PackedFM:
+            h: int | None = None, lean_only: bool = False) -> PackedFM:
     """Pack engine.FMBlocks rows into the kernel layout (one [F, N] array).
     ``p`` must be a view-major FMProblem (engine.to_view_major) — the rows
     come out of engine.linearize already in that lane order.  ``with_pw``
     appends the 2 weighted-misclosure rows (P w) that the fused assembly
-    kernel needs; the matvec kernel ignores them."""
+    kernel needs; ``lean_only`` packs just the matvec prefix (callers that
+    never run the assembly kernel skip the PJ tail entirely)."""
     if p.vm_pb is None:
         raise ValueError("pack_fm requires the view-major layout; apply "
                          "engine.to_view_major to the FMProblem first")
     G = len(b.Jg) // 2
     off = _offsets(G, with_pw)
-    rows = list(b.Jp) + list(b.PJp) + list(b.Jc) + list(b.PJc) \
-        + list(b.Jg) + list(b.PJg)
-    if with_pw:
-        rows += list(b.Pw)
-    F = off["F"]
+    lean_rows = list(b.Jp) + list(b.Jc) + list(b.Jg) \
+        + [p.wxx, p.wxy, p.wyy]
+    pad_lean = off["F_lean_pad"] - off["F_lean"]
+    zero = jnp.zeros_like(lean_rows[0])
+    if lean_only:
+        rows = lean_rows
+        F = off["F_lean"]
+    else:
+        rows = lean_rows + [zero] * pad_lean \
+            + list(b.PJp) + list(b.PJc) + list(b.PJg)
+        if with_pw:
+            rows += list(b.Pw)
+        F = off["F"]
     f_pad = ((F + 7) // 8) * 8
-    packed = jnp.stack(rows).astype(dtype)
+    packed = jnp.stack([r.astype(dtype) for r in rows])
     if f_pad > F:
         packed = jnp.concatenate(
             [packed, jnp.zeros((f_pad - F, packed.shape[1]), dtype)])
@@ -273,7 +293,12 @@ def make_cam_gather(p, h: int | None = None, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
-                   outc_ref, outg_ref, *, views, g, pb, H, W, passes=3):
+                   outc_ref, outg_ref, *, views, g, pb, H, W,
+                   passes=3):
+    """Matvec over the LEAN PREFIX of the packed layout: P-weighted
+    products recombined in-kernel via the 2x2 weight rows
+    (t = W2 s, u = W2 r) — 40-45%% fewer row reads than consuming the
+    precomputed PJ tail."""
     f32 = jnp.float32
     off = _offsets(g)
     nb = views * pb
@@ -282,7 +307,6 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
 
     onehot_hi, lo_mask = _two_level_onehot(img, H, W, nb)
 
-    # gather xcr[a, n] = xc[img[n], a] via the factored one-hot
     xcT = xcT_ref[:]                                    # [8W, H]
     T1 = _dot_oh(xcT, onehot_hi, passes=passes)         # [8W, NB]
     if W == 1:
@@ -291,31 +315,32 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
         xcr = sum(T1[w * 8:w * 8 + 8] * lo_mask[w] for w in range(W))
 
     xg = xg_ref[:]                                      # [8, G_lane]
-    jc, pjc = off["Jc"], off["PJc"]
-    jg, pjg = off["Jg"], off["PJg"]
-    t0 = jnp.sum(pk[pjc:pjc + 6] * xcr[:6], axis=0, keepdims=True)
-    t1 = jnp.sum(pk[pjc + 6:pjc + 12] * xcr[:6], axis=0, keepdims=True)
-    xg_row = xg[0:1, :g]                                # [1, G]
-    t0 = t0 + jnp.dot(xg_row, pk[pjg:pjg + g], preferred_element_type=f32,
-                      precision=P_VALUE)
-    t1 = t1 + jnp.dot(xg_row, pk[pjg + g:pjg + 2 * g],
-                      preferred_element_type=f32, precision=P_VALUE)
+    jp, jc, jg, wo = off["Jp"], off["Jc"], off["Jg"], off["W"]
+    wxx, wxy, wyy = pk[wo:wo + 1], pk[wo + 1:wo + 2], pk[wo + 2:wo + 3]
 
-    jp, pjp = off["Jp"], off["PJp"]
+    s0 = jnp.sum(pk[jc:jc + 6] * xcr[:6], axis=0, keepdims=True)
+    s1 = jnp.sum(pk[jc + 6:jc + 12] * xcr[:6], axis=0, keepdims=True)
+    xg_row = xg[0:1, :g]                                # [1, G]
+    s0 = s0 + jnp.dot(xg_row, pk[jg:jg + g], preferred_element_type=f32,
+                      precision=P_VALUE)
+    s1 = s1 + jnp.dot(xg_row, pk[jg + g:jg + 2 * g],
+                      preferred_element_type=f32, precision=P_VALUE)
+    t0 = wxx * s0 + wxy * s1
+    t1 = wxy * s0 + wyy * s1
+
     jt = pk[jp:jp + 3] * t0 + pk[jp + 3:jp + 6] * t1        # [3, NB]
     y = _view_sum(jt, views, pb)                            # [3, PB]
     z = jnp.concatenate(_hinv_rows(hpp_ref[:], y[0:1], y[1:2], y[2:3]),
                         axis=0)                              # [3, PB]
     zo = _view_bcast(z, views)                               # [3, NB]
 
-    u0 = jnp.sum(pk[pjp:pjp + 3] * zo, axis=0, keepdims=True)
-    u1 = jnp.sum(pk[pjp + 3:pjp + 6] * zo, axis=0, keepdims=True)
-    tv0 = t0 - u0
-    tv1 = t1 - u1
+    r0 = jnp.sum(pk[jp:jp + 3] * zo, axis=0, keepdims=True)
+    r1 = jnp.sum(pk[jp + 3:jp + 6] * zo, axis=0, keepdims=True)
+    tv0 = t0 - (wxx * r0 + wxy * r1)
+    tv1 = t1 - (wxy * r0 + wyy * r1)
 
     qc = pk[jc:jc + 6] * tv0 + pk[jc + 6:jc + 12] * tv1     # [6, NB]
     qc8 = jnp.concatenate([qc, jnp.zeros((2, nb), f32)], axis=0)
-    # scatter: out column m' = w*H + h (w-major; unscrambled on the host)
     if W == 1:
         contrib_c = _dot_oh(qc8, onehot_hi, contract_last=True,
                             passes=passes)                       # [8, H]
@@ -359,6 +384,7 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
     g_pad8 = ((G + 7) // 8) * 8
     g_lane = max(128, ((G + 127) // 128) * 128)
     w8 = 8 * W
+    fl_pad = _offsets(G)["F_lean_pad"]  # matvec reads the lean prefix only
 
     kernel = functools.partial(_matvec_kernel, views=V, g=G, pb=pb, H=H,
                                W=W, passes=passes)
@@ -370,7 +396,7 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, g_lane), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((pp.f_pad, nb), lambda i: (0, i),
+            pl.BlockSpec((fl_pad, nb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -400,9 +426,11 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
             xg.astype(jnp.float32))
         # Mosaic cannot legalize the i64 grid index maps that
         # jax_enable_x64 produces; the kernel is pure f32/int32 anyway
+        # the row slice is loop-invariant: XLA hoists the one copy out of
+        # the CG while_loop, so per-matvec traffic is the lean prefix only
         with jax.enable_x64(False):
-            out_c, out_g = call(xcT, xg_pad, pp.packed, pp.obs_img,
-                                pp.hppinv)
+            out_c, out_g = call(xcT, xg_pad, pp.packed[:fl_pad],
+                                pp.obs_img, pp.hppinv)
         oc = out_c.reshape(W, 8, H).transpose(2, 0, 1).reshape(m_pad, 8)
         oc = oc[:M, :6].astype(xc.dtype) + extra_c * xc
         og = out_g[:G, 0].astype(xg.dtype) + extra_g * xg

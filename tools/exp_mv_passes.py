@@ -18,10 +18,11 @@ def main():
     N = int(fmv.obs_point.shape[0]); G = 3 + spec.num_coefficients
     _, fbytes = B.matvec_cost(N, G, V)
 
-    prep_ = jax.jit(lambda st: kernels.prepare_pallas(
-        fmv, st, spec, jnp.asarray(1e-6, dtype), couple_global=True,
-        cam_gather=None))
-    b, rc, rg, Minv, pp = prep_(state)
+    prep_ = jax.jit(lambda st: engine.prepare(
+        fmv, st, spec, jnp.asarray(1e-6, dtype), couple_global=True))
+    b, rc, rg, Minv = prep_(state)
+    b32 = jax.tree.map(lambda x: x, b)
+    pp = kernels.pack_fm(b32, fmv)
     jax.block_until_ready(pp.packed)
 
     for passes in (3, 2):
