@@ -571,13 +571,24 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     observation form Hpc_n^T Hppinv[pt_n] Hpg[pt_n] is exact for any
     visibility multiplicity because it is linear in Hpc_n.
     Returns (blocks, rc, rg, rcs.Precond)."""
+    b = linearize(p, state, spec, damping, state_lo=state_lo, axis=axis)
+    return reduce_blocks(p, b, state, damping, couple_global=couple_global,
+                         axis=axis, cam_scatter=cam_scatter)
+
+
+def reduce_blocks(p: FMProblem, b: FMBlocks, state: ParamState, damping,
+                  couple_global: bool = False, axis: str | None = None,
+                  cam_scatter: bool = False, de_resid=None):
+    """`prepare` minus the linearisation: build rhs + preconditioner from
+    an existing FMBlocks (callers may have replaced the misclosure rows —
+    the mixed-precision refiner injects f64-accurate w/Pw/bp/bg before
+    reducing)."""
     if cam_scatter and axis is None:
         raise ValueError("cam_scatter requires axis (a shard_map axis name)")
 
     def _ps(x):
         return jax.lax.psum(x, axis) if axis is not None else x
 
-    b = linearize(p, state, spec, damping, state_lo=state_lo, axis=axis)
     G2 = len(b.Jg) // 2
 
     # z0 = Hpp^{-1} bp expanded; u0 = P Jp z0
@@ -648,17 +659,23 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
     WM = jnp.stack([W[g][a] for a in range(3) for g in range(G2)])
     T3 = _ps(jnp.matmul(WM, HpgM.T, precision=_PREC))  # [(3G), (3G)]
     return finish_reduction(p, b, state, damping, red, rg_corr, T2, T3,
-                            couple_global, axis=axis, cam_scatter=cam_scatter)
+                            couple_global, axis=axis, cam_scatter=cam_scatter,
+                            de_resid=de_resid)
 
 
 def finish_reduction(p: FMProblem, b: FMBlocks, state: ParamState, damping,
                      red, rg_corr, T2, T3, couple_global,
-                     axis: str | None = None, cam_scatter: bool = False):
+                     axis: str | None = None, cam_scatter: bool = False,
+                     de_resid=None):
     """Shared tail of `prepare`: turn the fused per-image reduction ``red``
     [M(, /D), 39 (+ 6G)], the global rhs correction ``rg_corr`` [G], and the
     Sgg matmul pieces ``T2`` [2G, 2G] / ``T3`` [3G, 3G] into
     (blocks, rc, rg, Precond).  Used by both the XLA reduction above and the
-    fused Pallas assembly kernel (kernels.prepare_pallas)."""
+    fused Pallas assembly kernel (kernels.prepare_pallas).
+
+    ``de_resid``: optional override for the directly-observed-EO residual
+    (de_val - eo); the mixed-precision refiner passes the f64-accurate
+    value (the f32 difference cancels catastrophically near convergence)."""
     G2 = len(b.Jg) // 2
     if cam_scatter:
         m_rows = red.shape[0]
@@ -677,7 +694,8 @@ def finish_reduction(p: FMProblem, b: FMBlocks, state: ParamState, damping,
     extra_c = damping * red[:, 6:12] + (1.0 - free_eo)
     if de_w is not None:
         we = de_w * free_eo
-        bc = bc + we * (de_val - eo_own)
+        dres = (de_val - eo_own) if de_resid is None else de_resid
+        bc = bc + we * dres
         extra_c = extra_c + we * (1.0 + damping)
     rc = bc - red[:, 12:18]
     tri = red[:, 18:39]

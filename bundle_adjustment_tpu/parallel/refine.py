@@ -21,6 +21,15 @@ Note the CG stall detector must be relaxed here: the default f32
 stall_limit=8 exits at ~20% relative residual, which is exactly the
 refinement contraction rate killer (measured: stall 8 -> 100% step error;
 stall 100+ at tol 1e-7 -> ~2% step error).
+
+Do NOT "optimise" this to an f64-residual-only scheme (f64 forward, f32
+Jacobian + f32 J^T P w reduction): unlike linear-system refinement, the
+bundle gradient's cancellation is ACROSS observation terms whose
+residuals converge to the measurement noise sigma, not to zero — so both
+the Jacobian's f32 rounding and f32 summation noise floor the gradient
+at eps32 * sqrt(N) * |J P w|_rms regardless of how accurate w is
+(measured: refinement stalls at max|dx| ~2e-5 instead of reaching 1e-7).
+The full f64 linearise + f64 reduction below is load-bearing.
 """
 
 from __future__ import annotations
