@@ -332,7 +332,8 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         fv = bigargs.merge(fmv, big_names, big_)
         dxp, dxc, dxg, b, it = engine.lm_step(
             fv, st, spec, lam, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-            couple_global=True, use_pallas=on_tpu, stall_limit=stall)
+            couple_global=True, use_pallas=on_tpu, stall_limit=stall,
+            matvec_passes=2)
         st2, mdx = rcs.apply_step(st, problem, alpha * dxp, alpha * dxc,
                                   alpha * dxg)
         return st2, mdx, it
@@ -364,10 +365,14 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # f32 LM phase (damping 0.2x schedule) to its floor, then mixed-
     # precision refinement to max|dx| <= 1e-6 (absolute; ~2e-10 relative
     # to the km-scale coordinates — beyond the reference's sqrt(eps_f64)).
-    refiner = refine.Refiner(problem, spec, use_pallas=on_tpu)
+    # matvec passes=2: ~2^-16 relative CG-operator error, measured 1.2x
+    # matvec; cg_tol matched to the operator floor so the stall detector
+    # does not burn the budget past it
+    refiner = refine.Refiner(problem, spec, use_pallas=on_tpu,
+                             matvec_passes=2)
     s_ref = hilo.from_f32(state0)
-    rstep = lambda s: refiner.step(s, damping=1e-7, cg_tol=1e-8,
-                                   cg_maxiter=800, stall_limit=400)
+    rstep = lambda s: refiner.step(s, damping=1e-7, cg_tol=1e-6,
+                                   cg_maxiter=800, stall_limit=200)
     t0 = time.time()
     r2 = rstep(s_ref)
     jax.block_until_ready(r2)
@@ -441,11 +446,11 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         _fetch(m)
         return time.time() - t0, st
 
-    t1, st = _run_fixed(st, 2)
-    t2, st = _run_fixed(st, 10)
-    dt = (t2 - t1) / 8
+    t1, st = _run_fixed(st, 4)
+    t2, st = _run_fixed(st, 20)
+    dt = (t2 - t1) / 16
     if dt <= 0:
-        dt = t2 / 10
+        dt = t2 / 20
     key = "lm_it_per_s_fixed_cg8_pallas" if on_tpu else "lm_it_per_s_fixed_cg8"
     out[key] = round(1.0 / dt, 3)
     print(f"steady-state (cg=8 fixed{', pallas' if on_tpu else ''}): "

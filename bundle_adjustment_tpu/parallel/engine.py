@@ -857,7 +857,8 @@ def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
 def lm_step(p: FMProblem, state: ParamState, spec, damping,
             cg_tol=1e-10, cg_maxiter=200, use_pallas=False,
             pallas_pb=None, couple_global=True,
-            state_lo: ParamState | None = None, stall_limit=None):
+            state_lo: ParamState | None = None, stall_limit=None,
+            matvec_passes: int = 3):
     """One LM inner solve; returns (dxp, dxc, dxg, blocks, cg_iterations).
 
     ``use_pallas``: run BOTH the assembly (kernels.prepare_pallas — one
@@ -882,7 +883,8 @@ def lm_step(p: FMProblem, state: ParamState, spec, damping,
         b, rc, rg, Minv, arrs = jax.lax.optimization_barrier(
             (b, rc, rg, Minv, (pp.packed, pp.obs_img, pp.hppinv)))
         pp = pp._replace(packed=arrs[0], obs_img=arrs[1], hppinv=arrs[2])
-        matvec = kernels.make_matvec(pp, b.extra_c, b.extra_g, pb=pallas_pb)
+        matvec = kernels.make_matvec(pp, b.extra_c, b.extra_g, pb=pallas_pb,
+                                     passes=matvec_passes)
     else:
         b, rc, rg, Minv = prepare(p, state, spec, damping,
                                   couple_global=couple_global,

@@ -385,6 +385,10 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
     g_lane = max(128, ((G + 127) // 128) * 128)
     w8 = 8 * W
     fl_pad = _offsets(G)["F_lean_pad"]  # matvec reads the lean prefix only
+    # slice ONCE at closure construction (trace time): inside the CG
+    # while_loop the slice is not reliably hoisted and would copy the
+    # prefix every matvec, cancelling the bandwidth saving
+    packed_lean = pp.packed[:fl_pad]
 
     kernel = functools.partial(_matvec_kernel, views=V, g=G, pb=pb, H=H,
                                W=W, passes=passes)
@@ -426,10 +430,8 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
             xg.astype(jnp.float32))
         # Mosaic cannot legalize the i64 grid index maps that
         # jax_enable_x64 produces; the kernel is pure f32/int32 anyway
-        # the row slice is loop-invariant: XLA hoists the one copy out of
-        # the CG while_loop, so per-matvec traffic is the lean prefix only
         with jax.enable_x64(False):
-            out_c, out_g = call(xcT, xg_pad, pp.packed[:fl_pad],
+            out_c, out_g = call(xcT, xg_pad, packed_lean,
                                 pp.obs_img, pp.hppinv)
         oc = out_c.reshape(W, 8, H).transpose(2, 0, 1).reshape(m_pad, 8)
         oc = oc[:M, :6].astype(xc.dtype) + extra_c * xc

@@ -79,7 +79,8 @@ class Refiner:
 
     def __init__(self, problem32: rcs.RCSProblem, spec,
                  couple_global: bool = True, use_pallas: bool = False,
-                 gradient_device: str | None = "cpu"):
+                 gradient_device: str | None = "cpu",
+                 matvec_passes: int = 3):
         if not jax.config.jax_enable_x64:
             raise RuntimeError(
                 "mixed-precision refinement needs jax_enable_x64=True for "
@@ -89,6 +90,7 @@ class Refiner:
         self.spec = spec
         self.couple_global = couple_global
         self.use_pallas = use_pallas
+        self.matvec_passes = matvec_passes
         self.fmp32 = engine.fm_problem(problem32)
         if use_pallas:
             # the Pallas kernels consume the view-major blocked lane order
@@ -209,7 +211,8 @@ class Refiner:
             (b, ext, rc, rg, Minv))
         if self.use_pallas:
             # reuse the rows packed once by prepare_pallas above
-            base = kernels.make_matvec(pp, b.extra_c, b.extra_g)
+            base = kernels.make_matvec(pp, b.extra_c, b.extra_g,
+                                       passes=self.matvec_passes)
         else:
             def base(c, g):
                 return engine.schur_matvec(p32, b, c, g)
