@@ -25,6 +25,7 @@ import numpy as np
 from . import rcs
 
 
+@rcs._hi_prec
 def _coupling_columns(problem: rcs.RCSProblem, blocks: rcs.Blocks, point_ids):
     """C[k] = Hxp[:, p_k] Hpp^{-1}[p_k] for the selected points, dense over
     the reduced axis: returns (Cc [k, M, 6, 3], Cg [k, G, 3])."""
@@ -54,6 +55,7 @@ def _coupling_columns(problem: rcs.RCSProblem, blocks: rcs.Blocks, point_ids):
     return Cc, Cg
 
 
+@rcs._hi_prec
 def _pcg_multi(problem, blocks, Rc, Rg, Minv, tol=1e-8, maxiter=400):
     """Batched PCG: solve S X = R for R rhs simultaneously.
 
@@ -118,6 +120,7 @@ def _pcg_multi(problem, blocks, Rc, Rg, Minv, tol=1e-8, maxiter=400):
     return xc, xg
 
 
+@rcs._hi_prec
 def point_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
                             point_ids, tol=1e-8, maxiter=400):
     """Exact 3x3 posterior cofactor blocks of the selected points.
@@ -146,6 +149,7 @@ def point_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
     return blocks.Hpp_inv[point_ids] + corr
 
 
+@rcs._hi_prec
 def point_pair_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
                                  pairs, tol=1e-8, maxiter=400):
     """Exact 3x3 cross-point posterior cofactor blocks Q[p, q] for the given
@@ -174,6 +178,7 @@ def point_pair_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
             + jnp.einsum("kab,kac->kbc", Cp_g, Xg))
 
 
+@rcs._hi_prec
 def camera_covariance_blocks(problem: rcs.RCSProblem, blocks: rcs.Blocks,
                              image_ids, tol=1e-8, maxiter=400):
     """Exact 6x6 posterior cofactor blocks of selected images' EO:

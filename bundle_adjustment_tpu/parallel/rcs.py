@@ -30,6 +30,7 @@ the segment-sums to per-device partials + all-reduces over ICI).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -134,6 +135,24 @@ class Blocks(NamedTuple):
     w_dp: jnp.ndarray | None = None  # [P, 3]
     w_de: jnp.ndarray | None = None  # [M, 6]
     w_dg: jnp.ndarray | None = None  # [G]
+
+
+def _hi_prec(fn):
+    """Pin full-f32 matmul precision for everything traced inside ``fn``.
+
+    TPU f32 dots default to a single bf16xbf16 MXU pass (~4e-3 relative);
+    the block-layout einsums here are normal-equation / Schur products
+    where that silently degrades the step (measured on chip: the
+    data-parallel dryrun variant landed 30%% of a step away from the
+    reference engine).  jax.default_matmul_precision("highest") covers
+    every einsum/dot without an explicit precision= in the traced call
+    tree; explicitly-pinned products (Pallas kernels, tp.py) are
+    unaffected."""
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapped
 
 
 def _seg(x, ids, num):
@@ -353,6 +372,7 @@ def rcs_from_problem(bp, dtype=jnp.float64, build_tables: bool = True) -> RCSPro
     )
 
 
+@_hi_prec
 def linearize(problem: RCSProblem, state: ParamState, spec, damping,
               skip_image_reductions: bool = False) -> Blocks:
     p = problem
@@ -466,6 +486,7 @@ def linearize(problem: RCSProblem, state: ParamState, spec, damping,
                   w_dp=w_dp, w_de=w_de, w_dg=w_dg)
 
 
+@_hi_prec
 def schur_matvec(p: RCSProblem, b: Blocks, xc, xg):
     """Implicit S @ [xc; xg]; every term is O(N_obs), gathers + dense sums
     only (no scatter) when the visibility tables are present."""
@@ -485,6 +506,7 @@ def schur_matvec(p: RCSProblem, b: Blocks, xc, xg):
     return out_c, out_g
 
 
+@_hi_prec
 def reduced_rhs(p: RCSProblem, b: Blocks):
     """rhs = bx - Hxp Hpp^{-1} bp."""
     z0 = jnp.einsum("pab,pb->pa", b.Hpp_inv, b.bp)
@@ -494,6 +516,7 @@ def reduced_rhs(p: RCSProblem, b: Blocks):
     return rc, rg
 
 
+@_hi_prec
 def camera_block_preconditioner(p: RCSProblem, b: Blocks):
     """Exact 6x6 diagonal blocks of S (one observation per (point, image)
     pair makes the per-image correction exact): used as block-Jacobi."""
@@ -532,6 +555,7 @@ class Precond(NamedTuple):
     Sghat_inv: jnp.ndarray | None = None  # [G, G]
 
 
+@_hi_prec
 def finish_coupling(Minv: Precond, Scg, Sgg, axis_cam: str | None = None) \
         -> Precond:
     """Complete a coupled `Precond` from the exact off-diagonal Scg [M, 6, G]
@@ -550,6 +574,7 @@ def finish_coupling(Minv: Precond, Scg, Sgg, axis_cam: str | None = None) \
                          Sghat_inv=jnp.linalg.inv(Sgg - corr))
 
 
+@_hi_prec
 def couple_preconditioner(matvec, Minv: Precond, num_images: int, G: int,
                           dtype=jnp.float32) -> Precond:
     """Upgrade a block `Precond` with the exact camera-global coupling.
@@ -570,6 +595,7 @@ def couple_preconditioner(matvec, Minv: Precond, num_images: int, G: int,
     return finish_coupling(Minv, Scg, Sgg)
 
 
+@_hi_prec
 def global_block_preconditioner(p: RCSProblem, b: Blocks):
     """Exact global diagonal block of S, inverted:
     Sgg = Hgg - Hgp Hpp^{-1} Hpg with Hpg accumulated per point."""
@@ -605,6 +631,7 @@ def make_apply_M(Minv, axis_cam: str | None = None):
     return apply_M
 
 
+@_hi_prec
 def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
         matvec=None, stall_limit=None, axis_cam: str | None = None):
     """Preconditioned CG on the implicit reduced system.
@@ -687,6 +714,7 @@ def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
     return bxc, bxg, it
 
 
+@_hi_prec
 def back_substitute_points(p: RCSProblem, b: Blocks, xc, xg):
     """dx_p = Hpp^{-1} (bp - Hpx x)."""
     t = jnp.einsum("nia,na->ni", b.PJc, xc[p.obs_image])
@@ -695,6 +723,7 @@ def back_substitute_points(p: RCSProblem, b: Blocks, xc, xg):
     return jnp.einsum("pab,pb->pa", b.Hpp_inv, b.bp - y)
 
 
+@_hi_prec
 def omega_at(p: RCSProblem, b: Blocks, dxp, dxc, dxg):
     """Omega(dx) = sum (w - J dx)^T P (w - J dx) at the linearisation point
     (getOmega semantics, BundleAdjustment.java:472-491)."""
@@ -705,6 +734,7 @@ def omega_at(p: RCSProblem, b: Blocks, dxp, dxc, dxg):
     return jnp.sum(v * jnp.einsum("nij,nj->ni", b.P2, v))
 
 
+@_hi_prec
 def prepare(problem: RCSProblem, state: ParamState, spec, damping):
     """Linearise and build everything the PCG needs, with ALL per-image
     reductions fused into one lane-efficient pass:
@@ -752,6 +782,7 @@ def prepare(problem: RCSProblem, state: ParamState, spec, damping):
     return b, rc, rg, Minv
 
 
+@_hi_prec
 def point_ops(p: RCSProblem, b: Blocks):
     """Layout-specific closures for parallel/freenet.py (block layout)."""
     from . import freenet
@@ -776,6 +807,7 @@ def point_ops(p: RCSProblem, b: Blocks):
     return freenet.PointOps(hinv=hinv, hinv_at=hinv_at, hxp=hxp, hpx=hpx)
 
 
+@_hi_prec
 def omega_at_full(p: RCSProblem, b: Blocks, ext, dxp, dxc, dxg):
     """Omega(dx) including scale-bar and direct-observation rows."""
     from . import freenet
@@ -795,6 +827,7 @@ def omega_at_full(p: RCSProblem, b: Blocks, ext, dxp, dxc, dxg):
     return om
 
 
+@_hi_prec
 def lm_step_full(problem: RCSProblem, state: ParamState, spec, damping,
                  cg_tol=1e-10, cg_maxiter=200, matvec_factory=None):
     """lm_step extended with scale bars and the inner-constraint datum
@@ -830,6 +863,7 @@ def lm_step_full(problem: RCSProblem, state: ParamState, spec, damping,
     return dxp, xc, xg, b, it, ext
 
 
+@_hi_prec
 def lm_step(problem: RCSProblem, state: ParamState, spec, damping,
             cg_tol=1e-10, cg_maxiter=200, matvec=None, stall_limit=None):
     """One full LM inner solve: linearise, reduce, PCG, back-substitute.

@@ -61,6 +61,7 @@ def shard_problem(problem: rcs.RCSProblem, mesh: Mesh) -> rcs.RCSProblem:
     )
 
 
+@rcs._hi_prec
 def make_spmd_lm_step(problem: rcs.RCSProblem, spec, mesh: Mesh,
                       cg_tol=1e-8, cg_maxiter=100):
     """Returns a jitted function state -> (new_state, max_dx, omega0, cg_it)
