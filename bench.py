@@ -282,6 +282,86 @@ def _time(fn, reps, *args, uniq=None):
     return dt, o
 
 
+
+
+def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
+               emit):
+    """Covariance phase shared by config-4 (fused) and config-5 (staged)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from bundle_adjustment_tpu.parallel import bigargs, engine
+
+    # ---- (d) covariance blocks at scale (direct dense-factored) ---------
+    from bundle_adjustment_tpu.parallel import cov_direct
+
+    t0 = time.time()
+
+    # memory-based dispatch: one fused program when the linearisation, S
+    # and the inverse's u x u temporaries fit together (fast path — no
+    # double linearise, single dispatch); otherwise three staged programs
+    # with buffer donation, capping the peak at (blocks + S) | (L + Q) |
+    # (blocks + Q) — the fused jit RESOURCE_EXHAUSTEDs at u = 30k next to
+    # a 1M-point problem (config 5).
+    u_red = 6 * num_images + G
+    est_fused = (90 * N + 5 * u_red * u_red + 72 * N) * 4  # bytes, rough
+    fused_ok = est_fused < 9e9
+
+    # float arrays as args; int index arrays stay constants (see
+    # bigargs.split_big float_only — argument indices OOM the XLA gather)
+    cb_names, cb_vals = bigargs.split_big(fmp, float_only=True)
+
+    if fused_ok:
+        def cov_all(cbig, st):
+            fp = bigargs.merge(fmp, cb_names, cbig)
+            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
+            S = cov_direct.assemble_reduced_dense(fp, bl)
+            Qred = cov_direct.reduced_inverse(S)
+            return cov_direct.point_covariance_dense(fp, bl, Qred)
+
+        cov0_ = jax.jit(cov_all)
+
+        def covf_(st):
+            return cov0_(cb_vals, st)
+    else:
+        def stage_S(cbig, st):
+            fp = bigargs.merge(fmp, cb_names, cbig)
+            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
+            return cov_direct.assemble_reduced_dense(fp, bl)
+
+        stage_S_ = jax.jit(stage_S)
+        inv_ = jax.jit(cov_direct.reduced_inverse, donate_argnums=0)
+
+        def stage_Q(cbig, st, Qred):
+            fp = bigargs.merge(fmp, cb_names, cbig)
+            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
+            return cov_direct.point_covariance_dense(fp, bl, Qred)
+
+        stage_Q_ = jax.jit(stage_Q, donate_argnums=2)
+
+        def covf_(st):
+            Qred = inv_(stage_S_(cb_vals, st))
+            return stage_Q_(cb_vals, st, Qred)
+    Q = covf_(state)
+    jax.block_until_ready(Q)
+    compiles["cov_compile_s"] = round(time.time() - t0, 2)
+    dt_c, Q = _time_chain(
+        covf_, 2,
+        lambda o, a: (a[0]._replace(points=a[0].points + 1e-12 * o[:, :, 0]),),
+        state)
+    out["cov_point_blocks_per_s"] = round(int(Q.shape[0]) / dt_c, 1)
+    out["cov_all_points_s"] = round(dt_c, 3)
+    print(f"covariance: ALL {int(Q.shape[0])} point blocks in {dt_c:.3f}s "
+          f"({out['cov_point_blocks_per_s']:.0f} blocks/s, direct factored)",
+          file=sys.stderr)
+    if emit is not None:
+        emit(dict(out))
+
+    return out
+
+
 def run_suite(num_points, num_images, views, full=True, emit=None):
     """All measurements on one configuration; returns a dict."""
     import time
@@ -366,13 +446,18 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # precision refinement to max|dx| <= 1e-6 (absolute; ~2e-10 relative
     # to the km-scale coordinates — beyond the reference's sqrt(eps_f64)).
     # matvec passes=2: ~2^-16 relative CG-operator error, measured 1.2x
-    # matvec; cg_tol matched to the operator floor so the stall detector
-    # does not burn the budget past it
+    # matvec.  cg_tol is set UNREACHABLY tight on purpose: the refine
+    # system is ill-conditioned (damping 1e-7), so a residual-relative
+    # stop of 1e-6 can exit with an O(1) STEP error (measured: refinement
+    # contraction collapsed from ~1e-3/it to ~0.5/it when a better
+    # preconditioner made CG hit the loose tolerance early).  The stall
+    # detector (plateau of the best residual) is the real stopping rule —
+    # CG then minimises the S-norm step error to its f32 floor.
     refiner = refine.Refiner(problem, spec, use_pallas=on_tpu,
                              matvec_passes=2)
     s_ref = hilo.from_f32(state0)
-    rstep = lambda s: refiner.step(s, damping=1e-7, cg_tol=1e-6,
-                                   cg_maxiter=800, stall_limit=200)
+    rstep = lambda s: refiner.step(s, damping=1e-7, cg_tol=1e-12,
+                                   cg_maxiter=800, stall_limit=300)
     t0 = time.time()
     r2 = rstep(s_ref)
     jax.block_until_ready(r2)
@@ -459,14 +544,17 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         emit(dict(out))
 
     # ---- (c) Schur matvec GFLOP/s + HBM roofline ------------------------
-    # full=False (config-5 scale): skipped — the standalone prepare+pack
-    # holds a second copy of the linearised rows (~7.5 GB at 12M obs) next
-    # to the LM program's buffers and exhausts HBM; the step rate above
-    # already covers the scale story.
+    # full=False (config-5 scale): the standalone matvec timing is skipped
+    # (the prepare+pack would hold a second copy of the linearised rows,
+    # ~7.5 GB at 12M obs, next to the LM program's buffers) — the step
+    # rate above covers the scale story; the COVARIANCE phase below runs
+    # at every scale (REDUCED-mode recovery is a headline capability,
+    # BASELINE config 5).
     flops, fbytes = matvec_cost(N, G, views)
     if not full:
         out["compile_s"] = compiles
-        return out
+        return _cov_phase(out, compiles, fmp, state, spec, dtype,
+                          num_images, G, N, emit)
     prep_ = jax.jit(lambda st: engine.prepare(
         fmv, st, spec, jnp.asarray(1e-6, dtype), couple_global=True))
     t0 = time.time()
@@ -538,70 +626,8 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     if not full:
         return out
 
-    # ---- (d) covariance blocks at scale (direct dense-factored) ---------
-    from bundle_adjustment_tpu.parallel import cov_direct
-
-    t0 = time.time()
-
-    # memory-based dispatch: one fused program when the linearisation, S
-    # and the inverse's u x u temporaries fit together (fast path — no
-    # double linearise, single dispatch); otherwise three staged programs
-    # with buffer donation, capping the peak at (blocks + S) | (L + Q) |
-    # (blocks + Q) — the fused jit RESOURCE_EXHAUSTEDs at u = 30k next to
-    # a 1M-point problem (config 5).
-    u_red = 6 * num_images + G
-    est_fused = (90 * N + 5 * u_red * u_red + 72 * N) * 4  # bytes, rough
-    fused_ok = est_fused < 9e9
-
-    # float arrays as args; int index arrays stay constants (see
-    # bigargs.split_big float_only — argument indices OOM the XLA gather)
-    cb_names, cb_vals = bigargs.split_big(fmp, float_only=True)
-
-    if fused_ok:
-        def cov_all(cbig, st):
-            fp = bigargs.merge(fmp, cb_names, cbig)
-            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
-            S = cov_direct.assemble_reduced_dense(fp, bl)
-            Qred = cov_direct.reduced_inverse(S)
-            return cov_direct.point_covariance_dense(fp, bl, Qred)
-
-        cov0_ = jax.jit(cov_all)
-
-        def covf_(st):
-            return cov0_(cb_vals, st)
-    else:
-        def stage_S(cbig, st):
-            fp = bigargs.merge(fmp, cb_names, cbig)
-            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
-            return cov_direct.assemble_reduced_dense(fp, bl)
-
-        stage_S_ = jax.jit(stage_S)
-        inv_ = jax.jit(cov_direct.reduced_inverse, donate_argnums=0)
-
-        def stage_Q(cbig, st, Qred):
-            fp = bigargs.merge(fmp, cb_names, cbig)
-            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
-            return cov_direct.point_covariance_dense(fp, bl, Qred)
-
-        stage_Q_ = jax.jit(stage_Q, donate_argnums=2)
-
-        def covf_(st):
-            Qred = inv_(stage_S_(cb_vals, st))
-            return stage_Q_(cb_vals, st, Qred)
-    Q = covf_(state)
-    jax.block_until_ready(Q)
-    compiles["cov_compile_s"] = round(time.time() - t0, 2)
-    dt_c, Q = _time_chain(
-        covf_, 2,
-        lambda o, a: (a[0]._replace(points=a[0].points + 1e-12 * o[:, :, 0]),),
-        state)
-    out["cov_point_blocks_per_s"] = round(int(Q.shape[0]) / dt_c, 1)
-    out["cov_all_points_s"] = round(dt_c, 3)
-    print(f"covariance: ALL {int(Q.shape[0])} point blocks in {dt_c:.3f}s "
-          f"({out['cov_point_blocks_per_s']:.0f} blocks/s, direct factored)",
-          file=sys.stderr)
-    if emit is not None:
-        emit(dict(out))
+    out = _cov_phase(out, compiles, fmp, state, spec, dtype, num_images,
+                     G, N, emit)
 
     # ---- (e) TP distributed Cholesky vs XLA single-device ---------------
     try:
@@ -823,7 +849,8 @@ def main():
                     "lm_it_per_s_fixed_cg8_pallas", "lm_it_per_s_fixed_cg8",
                     "time_to_converged_s", "converged_max_dx",
                     "lm_iterations_to_converge", "matvec_pallas_gbps",
-                    "matvec_hbm_sol_fraction", "first_compile_s",
+                    "matvec_hbm_sol_fraction", "cov_point_blocks_per_s",
+                    "cov_all_points_s", "first_compile_s",
                     "compile_s") if k in c5}
         except Exception as exc:  # record instead of failing the bench
             # keep whatever phases completed (the last provisional emit)

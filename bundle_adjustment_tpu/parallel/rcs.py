@@ -147,7 +147,15 @@ def _hi_prec(fn):
     reference engine).  jax.default_matmul_precision("highest") covers
     every einsum/dot without an explicit precision= in the traced call
     tree; explicitly-pinned products (Pallas kernels, tp.py) are
-    unaffected."""
+    unaffected.
+
+    Deliberately NOT applied to `pcg` / `finish_coupling`: running the CG
+    loop's small preconditioner products under ambient HIGHEST broke the
+    solve on the v5e backend (measured twice: CG exits by tolerance after
+    ~30-90 iterations with a step ~50% wrong, refinement contraction
+    collapses from ~1e-3/it to ~0.5/it; unwrapping exactly restores it).
+    The big per-observation contractions (linearize/prepare/matvec) are
+    where bf16 loses accuracy AND where HIGHEST is safe."""
     @functools.wraps(fn)
     def wrapped(*a, **k):
         with jax.default_matmul_precision("highest"):
@@ -527,6 +535,35 @@ def camera_block_preconditioner(p: RCSProblem, b: Blocks):
     return jnp.linalg.inv(Scc)
 
 
+#: trace-time switch: apply the preconditioner blocks with elementwise
+#: multiply-sums (exact f32 on the VPU) instead of default-precision
+#: einsums.  On the v5e backend the einsum apply rounds through bf16; for
+#: mid-conditioned solves (same-problem dryrun, damping 1e-3) that leaves
+#: CG unable to converge at all, while for the deep refinement solves the
+#: bf16 rounding acts as an accidental regulariser — the exact apply
+#: surfaces tiny negative f32 eigenvalues of the reduced operator and CG
+#: breaks down at ~180 iterations (measured both ways; CPU f32 is fine
+#: either way).  Flagship solves keep the einsum default; cross-engine
+#: agreement checks enable `exact_preconditioner()` around their traces.
+_EXACT_APPLY = False
+
+
+class exact_preconditioner:
+    """Context manager: trace enclosed solves with the exact (VPU
+    elementwise) preconditioner apply — see `_EXACT_APPLY`."""
+
+    def __enter__(self):
+        global _EXACT_APPLY
+        self._old = _EXACT_APPLY
+        _EXACT_APPLY = True
+        return self
+
+    def __exit__(self, *exc):
+        global _EXACT_APPLY
+        _EXACT_APPLY = self._old
+        return False
+
+
 class Precond(NamedTuple):
     """Block preconditioner of the reduced system: exact 6x6 camera blocks
     plus the exact (small, dense) global IO/distortion block.  The global
@@ -555,7 +592,6 @@ class Precond(NamedTuple):
     Sghat_inv: jnp.ndarray | None = None  # [G, G]
 
 
-@_hi_prec
 def finish_coupling(Minv: Precond, Scg, Sgg, axis_cam: str | None = None) \
         -> Precond:
     """Complete a coupled `Precond` from the exact off-diagonal Scg [M, 6, G]
@@ -566,8 +602,13 @@ def finish_coupling(Minv: Precond, Scg, Sgg, axis_cam: str | None = None) \
     ``axis_cam``: mesh axis name when the camera rows (M) are sharded over
     devices (TP mode) — the over-images contraction is psum-ed so the
     replicated Sghat_inv is identical on every shard."""
-    W = jnp.einsum("mab,mbg->mag", Minv.Minv_c, Scg)
-    corr = jnp.einsum("mag,mah->gh", Scg, W)
+    if _EXACT_APPLY:
+        # elementwise multiply-sum: exact f32 on the VPU (see _EXACT_APPLY)
+        W = (Minv.Minv_c[:, :, :, None] * Scg[:, None, :, :]).sum(axis=2)
+        corr = (Scg[:, :, :, None] * W[:, :, None, :]).sum(axis=(0, 1))
+    else:
+        W = jnp.einsum("mab,mbg->mag", Minv.Minv_c, Scg)
+        corr = jnp.einsum("mag,mah->gh", Scg, W)
     if axis_cam is not None:
         corr = jax.lax.psum(corr, axis_cam)
     return Minv._replace(Scg=Scg, W=W,
@@ -614,24 +655,37 @@ def make_apply_M(Minv, axis_cam: str | None = None):
     def _pc(x):
         return jax.lax.psum(x, axis_cam) if axis_cam is not None else x
 
+    exact = _EXACT_APPLY and isinstance(Minv, Precond)
     if isinstance(Minv, Precond) and Minv.Scg is not None:
-        def apply_M(rc_, rg_):
-            u = jnp.einsum("mab,mb->ma", Minv.Minv_c, rc_)
-            zg = Minv.Sghat_inv @ (
-                rg_ - _pc(jnp.einsum("mag,ma->g", Minv.Scg, u)))
-            zc = u - jnp.einsum("mag,g->ma", Minv.W, zg)
-            return zc, zg
+        if exact:
+            def apply_M(rc_, rg_):
+                u = (Minv.Minv_c * rc_[:, None, :]).sum(axis=2)
+                zg = Minv.Sghat_inv @ (
+                    rg_ - _pc((Minv.Scg * u[:, :, None]).sum(axis=(0, 1))))
+                zc = u - (Minv.W * zg[None, None, :]).sum(axis=2)
+                return zc, zg
+        else:
+            def apply_M(rc_, rg_):
+                u = jnp.einsum("mab,mb->ma", Minv.Minv_c, rc_)
+                zg = Minv.Sghat_inv @ (
+                    rg_ - _pc(jnp.einsum("mag,ma->g", Minv.Scg, u)))
+                zc = u - jnp.einsum("mag,g->ma", Minv.W, zg)
+                return zc, zg
     elif isinstance(Minv, Precond):
-        def apply_M(rc_, rg_):
-            return (jnp.einsum("mab,mb->ma", Minv.Minv_c, rc_),
-                    Minv.Minv_g @ rg_)
+        if exact:
+            def apply_M(rc_, rg_):
+                return ((Minv.Minv_c * rc_[:, None, :]).sum(axis=2),
+                        Minv.Minv_g @ rg_)
+        else:
+            def apply_M(rc_, rg_):
+                return (jnp.einsum("mab,mb->ma", Minv.Minv_c, rc_),
+                        Minv.Minv_g @ rg_)
     else:
         def apply_M(rc_, rg_):
             return jnp.einsum("mab,mb->ma", Minv, rc_), rg_
     return apply_M
 
 
-@_hi_prec
 def pcg(p: RCSProblem, b: Blocks, rc, rg, Minv, tol=1e-10, maxiter=200,
         matvec=None, stall_limit=None, axis_cam: str | None = None):
     """Preconditioned CG on the implicit reduced system.
