@@ -326,12 +326,24 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
         def covf_(st):
             return cov0_(cb_vals, st)
     else:
-        def stage_S(cbig, st):
+        # four programs, each relinearising and dead-code-eliminating the
+        # rows it does not read, with u x u buffers donated between them —
+        # the peak per stage stays under HBM at 1M pts / 5k img
+        def stage_S0(cbig, st):
             fp = bigargs.merge(fmp, cb_names, cbig)
             bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
-            return cov_direct.assemble_reduced_dense(fp, bl)
+            return cov_direct.assemble_reduced_base(fp, bl)
 
-        stage_S_ = jax.jit(stage_S)
+        stage_S0_ = jax.jit(stage_S0)
+
+        def stage_Sc(cbig, st):
+            fp = bigargs.merge(fmp, cb_names, cbig)
+            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
+            return cov_direct.assemble_reduced_corrections(fp, bl)
+
+        stage_Sc_ = jax.jit(stage_Sc)
+        apply_ = jax.jit(cov_direct.apply_corrections,
+                         donate_argnums=(0, 1))
         inv_ = jax.jit(cov_direct.reduced_inverse, donate_argnums=0)
 
         def stage_Q(cbig, st, Qred):
@@ -342,7 +354,10 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
         stage_Q_ = jax.jit(stage_Q, donate_argnums=2)
 
         def covf_(st):
-            Qred = inv_(stage_S_(cb_vals, st))
+            # corrections BEFORE the base: holding S0 across the
+            # correction loop is a runtime OOM at 1M (measured)
+            Acc, Acg = stage_Sc_(cb_vals, st)
+            Qred = inv_(apply_(stage_S0_(cb_vals, st), Acc, Acg))
             return stage_Q_(cb_vals, st, Qred)
     Q = covf_(state)
     jax.block_until_ready(Q)

@@ -39,6 +39,11 @@ from . import engine
 _PREC = jax.lax.Precision.HIGHEST
 
 
+def _i32c(*idx):
+    """dynamic_slice wants same-dtype indices (x64-safe int32 pin)."""
+    return tuple(jnp.asarray(i, jnp.int32) for i in idx)
+
+
 def _choose_chunk(P: int, target: int = 4096) -> int:
     """Largest chunk <= target dividing P (P is a multiple of 128 after
     engine.pad_problem; fall back to any divisor for tiny tests)."""
@@ -50,10 +55,40 @@ def _choose_chunk(P: int, target: int = 4096) -> int:
 
 
 def _hpc_rows(b: engine.FMBlocks):
-    """Per-observation Hpc = Jp^T P Jc as an [N, 3, 6] array."""
+    """Per-observation Hpc = Jp^T P Jc as an [N, 3, 6] array (small-N
+    paths only — on TPU the (3, 6) minor dims tile-pad to (8, 128))."""
     rows = [[b.Jp[a] * b.PJc[e] + b.Jp[3 + a] * b.PJc[6 + e]
              for e in range(6)] for a in range(3)]
     return jnp.stack([jnp.stack(r, axis=1) for r in rows], axis=1)
+
+
+def _hpc_rows2d(b: engine.FMBlocks):
+    """Hpc as 18 feature rows [18, N], row index a*6 + e — the TPU-safe
+    2D form (pads 18 -> 24 sublanes, ~1.3x, vs ~30x for [N, 3, 6])."""
+    return jnp.stack([b.Jp[a] * b.PJc[e] + b.Jp[3 + a] * b.PJc[6 + e]
+                      for a in range(3) for e in range(6)])
+
+
+def _hpg_rows2d(p: engine.FMProblem, b: engine.FMBlocks):
+    """Per-point Hpg as rows [3*G, P], row index a*G + g."""
+    G2 = len(b.Jg) // 2
+    return jnp.stack([
+        engine._point_sum(p, b.Jp[a] * b.PJg[g] + b.Jp[3 + a] * b.PJg[G2 + g])
+        for a in range(3) for g in range(G2)])
+
+
+def _w_rows2d(b: engine.FMBlocks, hpg_rows, G2):
+    """W = Hpp^{-1} Hpg as rows [3*G, P] from the 6 symmetric inverse
+    rows (engine._hinv_apply per global column)."""
+    out = []
+    for a in range(3):
+        out.append(None)
+    rows = []
+    for g in range(G2):
+        z = engine._hinv_apply(b.Hpp_inv, hpg_rows[0 * G2 + g],
+                               hpg_rows[1 * G2 + g], hpg_rows[2 * G2 + g])
+        rows.append(z)
+    return jnp.stack([rows[g][a] for a in range(3) for g in range(G2)])
 
 
 def _hpg_points(p: engine.FMProblem, b: engine.FMBlocks):
@@ -75,26 +110,17 @@ def _hinv3(b: engine.FMBlocks):
     ], axis=1)
 
 
-def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
-                           damping=0.0, chunk: int | None = None):
-    """Dense reduced (Schur) system S [u, u], u = 6M + G, camera-major rows
-    (image m, component a) -> row 6m + a, globals last.
-
-    Exact for arbitrary visibility (duplicate (point, image) pairs
-    included): the camera-camera correction is accumulated per point chunk
-    as a dense [3c, 6M] panel product on the MXU instead of the
-    [P, V, V, 6, 6] pair tensor of `tp.assemble_reduced_system` — O(c * u)
-    memory, O(P * u^2 * 3 / c-batched) flops.
-    """
+def assemble_reduced_base(p: engine.FMProblem, b: engine.FMBlocks,
+                          damping=0.0):
+    """Stage 1 of the dense reduced system: per-image Hcc/Hcg blocks and
+    the global Sgg — consumes only the Jc/PJc/Jg/PJg/Jp rows (XLA
+    dead-code-eliminates the rest of the linearisation), so it can run as
+    its own program at the 1M-point scale where the full one-shot
+    assembly exceeds HBM.  Returns S0 [u, u] with the camera-camera
+    correction still missing (see `assemble_reduced_corrections`)."""
     M, G2 = p.num_images, len(b.Jg) // 2
-    P_, V = p.num_points, p.views
     K = 6 * M
     dt = b.Jp[0].dtype
-    if chunk is None:
-        # the loop body holds two [chunk*3, K] slabs (D, B) plus the Acc
-        # accumulator; bound the slabs to ~300 MB so M = 5000 stays viable
-        target = max(128, int(3.0e8 / (24 * K)))
-        chunk = _choose_chunk(P_, min(4096, target))
 
     # per-image full blocks: chunked scatter-add over observations — the
     # [Nip, F] permutation-gather of _image_sum_stack decomposes into
@@ -145,13 +171,53 @@ def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
     T2 = jnp.matmul(JgM, PJgM.T, precision=_PREC)
     Hgg = T2[:G2, :G2] + T2[G2:, G2:] + jnp.diag(b.extra_g)
 
-    HpgP = _hpg_points(p, b)          # [P, 3, G]
-    Hinv = _hinv3(b)                  # [P, 3, 3]
-    WpgP = jnp.einsum("pij,pjg->pig", Hinv, HpgP, precision=_PREC)
-    Sgg = Hgg - jnp.einsum("pig,pih->gh", HpgP, WpgP, precision=_PREC)
+    # Sgg correction via 2D row matmuls ([P, 3, G] tile-pads ~12x at 1M)
+    hpg_rows = _hpg_rows2d(p, b)      # [3G, P]
+    W_rows = _w_rows2d(b, hpg_rows, G2)
+    T3 = jnp.matmul(W_rows, hpg_rows.T, precision=_PREC)  # [3G, 3G]
+    corr_g = sum(T3[a * G2:(a + 1) * G2, a * G2:(a + 1) * G2]
+                 for a in range(3))
+    Sgg = Hgg - corr_g
 
-    # chunked camera-camera / camera-global corrections --------------------
-    HpcM = _hpc_rows(b)               # [N, 3, 6]
+    u = K + G2
+    S0 = jnp.zeros((u, u), dt)
+    # block-diagonal add via 2D scatter: a [M, 6, M, 6] reshape tile-pads
+    # to (…, 8, …, 128) on TPU — 76.8 GB at M = 5000 (measured OOM)
+    i6 = jnp.arange(6)
+    bi = jnp.arange(M)[:, None, None] * 6
+    S0 = S0.at[bi + i6[None, :, None], bi + i6[None, None, :]].add(Hcc)
+    S0 = S0.at[:K, K:].set(Hcg.reshape(K, G2))
+    S0 = S0.at[K:, :K].set(Hcg.reshape(K, G2).T)
+    S0 = S0.at[K:, K:].set(Sgg)
+    return S0
+
+
+def assemble_reduced_corrections(p: engine.FMProblem, b: engine.FMBlocks,
+                                 S0=None, chunk: int | None = None):
+    """Stage 2: the chunked camera-camera / camera-global Schur
+    corrections.  With ``S0`` given, returns the corrected S (one-shot
+    path); with ``S0=None`` returns the raw (Acc [K, K], Acg [K, G])
+    accumulators so the subtraction can run as its own tiny program
+    (`apply_corrections` with both u x u buffers donated) — at 1M pts /
+    5k img the accumulator, S0 and the linearisation rows together
+    exceed HBM.  Consumes only the Jp/PJc/PJg rows + Hpp_inv."""
+    M, G2 = p.num_images, len(b.Jg) // 2
+    P_, V = p.num_points, p.views
+    K = 6 * M
+    dt = b.Jp[0].dtype
+    if chunk is None:
+        # the loop body holds two [chunk*3, K] slabs (D, B) plus the
+        # accumulator; bound the slabs to ~300 MB so M = 5000 stays viable
+        target = max(128, int(3.0e8 / (24 * K)))
+        chunk = _choose_chunk(P_, min(4096, target))
+
+    # all large per-observation/per-point quantities in the 2D row form
+    # (the 3D [N, 3, 6] / [P, 3, G] / [P, 3, 3] forms tile-pad 12-30x on
+    # TPU and RESOURCE_EXHAUSTED the 1M configuration)
+    hpc2 = _hpc_rows2d(b)             # [18, N]
+    hpg_rows = _hpg_rows2d(p, b)      # [3G, P]
+    W_rows = _w_rows2d(b, hpg_rows, G2)
+    hinv_rows = jnp.stack(list(b.Hpp_inv))   # [6, P]
     img = p.obs_image.astype(jnp.int32)
     nchunks = P_ // chunk
     cV = chunk * V
@@ -159,36 +225,78 @@ def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
     def body(i, carry):
         Acc, Acg = carry
         o0 = i * cV
-        hpc = jax.lax.dynamic_slice(HpcM, (o0, 0, 0), (cV, 3, 6))
+        # [18, cV] slice -> small [cV, 3, 6] tensor (transpose of a slice)
+        hpc = jax.lax.dynamic_slice(
+            hpc2, (0, o0), (18, cV)).T.reshape(cV, 3, 6)
         im = jax.lax.dynamic_slice(img, (o0,), (cV,))
         pl = jnp.arange(cV, dtype=jnp.int32) // jnp.int32(V)
         D = jnp.zeros((chunk, 3, M, 6), dt).at[pl, :, im, :].add(hpc)
         D2 = D.reshape(chunk, 3, K)
-        hin = jax.lax.dynamic_slice(Hinv, (i * chunk, 0, 0), (chunk, 3, 3))
-        B2 = jnp.einsum("cij,cjK->ciK", hin, D2, precision=_PREC)
+        h = jax.lax.dynamic_slice(hinv_rows, (0, i * chunk), (6, chunk))
+        h = h[:, :, None]                                 # [6, chunk, 1]
+        B0 = h[0] * D2[:, 0] + h[1] * D2[:, 1] + h[2] * D2[:, 2]
+        B1 = h[1] * D2[:, 0] + h[3] * D2[:, 1] + h[4] * D2[:, 2]
+        B2r = h[2] * D2[:, 0] + h[4] * D2[:, 1] + h[5] * D2[:, 2]
+        Bf = jnp.stack([B0, B1, B2r], axis=1).reshape(chunk * 3, K)
         Df = D2.reshape(chunk * 3, K)
-        Bf = B2.reshape(chunk * 3, K)
-        Acc = Acc + jnp.matmul(Df.T, Bf, precision=_PREC)
+        # accumulate in column tiles: a full [K, K] matmul temp next to
+        # the [K, K] accumulator exceeds HBM at K = 30k (measured)
+        kb = K
+        for cand in (7680, 6144, 6000, 5120, 5000, 4096, 3840, 3000):
+            if K % cand == 0:
+                kb = cand
+                break
+
+        def colblk(jj, Acc_):
+            Bcol = jax.lax.dynamic_slice(Bf, _i32c(0, jj * kb),
+                                         (chunk * 3, kb))
+            upd = jnp.matmul(Df.T, Bcol, precision=_PREC)   # [K, kb]
+            old = jax.lax.dynamic_slice(Acc_, _i32c(0, jj * kb), (K, kb))
+            return jax.lax.dynamic_update_slice(Acc_, old + upd,
+                                                _i32c(0, jj * kb))
+
+        Acc = jax.lax.fori_loop(0, K // kb, colblk, Acc)
         wpg = jax.lax.dynamic_slice(
-            WpgP, (i * chunk, 0, 0), (chunk, 3, G2)).reshape(chunk * 3, G2)
+            W_rows, (0, i * chunk), (3 * G2, chunk))      # [3G, chunk]
+        wpg = wpg.reshape(3, G2, chunk).transpose(2, 0, 1).reshape(
+            chunk * 3, G2)
         Acg = Acg + jnp.matmul(Df.T, wpg, precision=_PREC)
         return Acc, Acg
 
     Acc, Acg = jax.lax.fori_loop(
         0, nchunks, body, (jnp.zeros((K, K), dt), jnp.zeros((K, G2), dt)))
 
-    Scc = -Acc
-    bd = jnp.arange(M)
-    Scc = Scc.reshape(M, 6, M, 6).at[bd, :, bd, :].add(Hcc).reshape(K, K)
-    Scg = Hcg.reshape(K, G2) - Acg
+    if S0 is None:
+        return Acc, Acg
+    return apply_corrections(S0, Acc, Acg)
 
-    u = K + G2
-    S = jnp.zeros((u, u), dt)
-    S = S.at[:K, :K].set(Scc)
-    S = S.at[:K, K:].set(Scg)
-    S = S.at[K:, :K].set(Scg.T)
-    S = S.at[K:, K:].set(Sgg)
+
+def apply_corrections(S0, Acc, Acg):
+    """S = S0 - [[Acc, Acg], [Acg^T, 0]] (donate S0 and Acc when jitting
+    standalone)."""
+    K = Acc.shape[0]
+    S = S0.at[:K, :K].add(-Acc)
+    S = S.at[:K, K:].add(-Acg)
+    S = S.at[K:, :K].add(-Acg.T)
     return S
+
+
+def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
+                           damping=0.0, chunk: int | None = None):
+    """Dense reduced (Schur) system S [u, u], u = 6M + G, camera-major rows
+    (image m, component a) -> row 6m + a, globals last.
+
+    Exact for arbitrary visibility (duplicate (point, image) pairs
+    included): the camera-camera correction is accumulated per point chunk
+    as a dense [3c, 6M] panel product on the MXU instead of the
+    [P, V, V, 6, 6] pair tensor of `tp.assemble_reduced_system` — O(c * u)
+    memory, O(P * u^2 * 3 / c-batched) flops.  One-shot form; at memory-
+    bound scale run `assemble_reduced_base` and
+    `assemble_reduced_corrections` as separate programs (each
+    dead-code-eliminates the linearisation rows it does not read).
+    """
+    S0 = assemble_reduced_base(p, b, damping)
+    return assemble_reduced_corrections(p, b, S0, chunk=chunk)
 
 
 def reduced_inverse(S, panel: int | None = None):
@@ -247,12 +355,15 @@ def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
     K = 6 * M
     dt = b.Jp[0].dtype
 
-    HpcM = _hpc_rows(b)                                   # [N, 3, 6]
-    Hinv = _hinv3(b)                                      # [P, 3, 3]
-    HpgP = _hpg_points(p, b)                              # [P, 3, G]
+    # large per-observation/per-point quantities kept in the 2D row form
+    # ([N, 3, 6] / [P, 3, 3] / [P, 3, G] tile-pad 12-30x on TPU —
+    # RESOURCE_EXHAUSTED at the 1M configuration); chunks gathered from
+    # the rows are transposed into small block tensors
+    hpc2 = _hpc_rows2d(b)                                 # [18, N]
+    hinv_rows = jnp.stack(list(b.Hpp_inv))                # [6, P]
+    hpg_rows = _hpg_rows2d(p, b)                          # [3G, P]
     img = p.obs_image.astype(jnp.int32).reshape(p.num_points, V)
 
-    Qcc = Qred[:K, :K].reshape(M, 6, M, 6)
     Qcg = Qred[:K, K:].reshape(M, 6, G2)
     Qgg = Qred[K:, K:]
 
@@ -263,21 +374,36 @@ def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
     if chunk is None:
         chunk = _choose_chunk(k, 2048)
 
-    Hpc_v = HpcM.reshape(p.num_points, V, 3, 6)
+    i6 = jnp.arange(6)
+    iV = jnp.arange(V)
 
     def one_chunk(ids):
-        hin = Hinv[ids]                                   # [c, 3, 3]
+        c = ids.shape[0]
+        h = hinv_rows[:, ids]                             # [6, c]
+        hin = jnp.stack([
+            jnp.stack([h[0], h[1], h[2]], axis=1),
+            jnp.stack([h[1], h[3], h[4]], axis=1),
+            jnp.stack([h[2], h[4], h[5]], axis=1),
+        ], axis=1)                                        # [c, 3, 3]
+        obs = (ids[:, None] * V + iV[None, :]).reshape(-1)
+        hpc_v = hpc2[:, obs].T.reshape(c, V, 3, 6)
+        hpg_c = hpg_rows[:, ids].reshape(3, G2, c).transpose(2, 0, 1)
         # E_v = (Hpc_v)^T Hppinv : the camera-row blocks of C_p  [c, V, 6, 3]
-        E = jnp.einsum("cvae,cab->cveb", Hpc_v[ids], hin, precision=_PREC)
-        Cg = jnp.einsum("cag,cab->cgb", HpgP[ids], hin, precision=_PREC)   # [c, G, 3]
+        E = jnp.einsum("cvae,cab->cveb", hpc_v, hin, precision=_PREC)
+        Cg = jnp.einsum("cag,cab->cgb", hpg_c, hin, precision=_PREC)   # [c, G, 3]
         im = img[ids]                                     # [c, V]
-        Qb = Qcc[im[:, :, None], :, im[:, None, :], :]    # [c, V, V, 6, 6]
+        # gather the [c, V, V, 6, 6] camera blocks straight from the 2D
+        # Qred (a [M, 6, M, 6] reshape tile-pads to 76.8 GB at M = 5000)
+        I = (6 * im)[:, :, None, None, None] + i6[None, None, None, :, None]
+        J = (6 * im)[:, None, :, None, None] + i6[None, None, None, None, :]
+        Qb = Qred[I, J]                                   # [c, V, V, 6, 6]
         corr = jnp.einsum("cveb,cvwef,cwfd->cbd", E, Qb, E, precision=_PREC)
         Qg_v = Qcg[im]                                    # [c, V, 6, G]
         cross = jnp.einsum("cveb,cveg,cgd->cbd", E, Qg_v, Cg, precision=_PREC)
         corr = corr + cross + cross.transpose(0, 2, 1)
         corr = corr + jnp.einsum("cgb,gh,chd->cbd", Cg, Qgg, Cg, precision=_PREC)
-        return hin + corr
+        hin_sym = hin
+        return hin_sym + corr
 
     nch = k // chunk
     out = jax.lax.map(
@@ -315,7 +441,6 @@ def point_pair_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks,
     HpgP = _hpg_points(p, b)
     img = p.obs_image.astype(jnp.int32).reshape(p.num_points, V)
 
-    Qcc = Qred[:K, :K].reshape(M, 6, M, 6)
     Qcg = Qred[:K, K:].reshape(M, 6, G2)
     Qgg = Qred[K:, K:]
 
@@ -331,7 +456,10 @@ def point_pair_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks,
 
     Ep, Cgp, imp = side(ip)
     Eq, Cgq, imq = side(iq)
-    Qb = Qcc[imp[:, :, None], :, imq[:, None, :], :]      # [c, V, V, 6, 6]
+    i6 = jnp.arange(6)
+    I = (6 * imp)[:, :, None, None, None] + i6[None, None, None, :, None]
+    J = (6 * imq)[:, None, :, None, None] + i6[None, None, None, None, :]
+    Qb = Qred[I, J]                                       # [c, V, V, 6, 6]
     out = jnp.einsum("cveb,cvwef,cwfd->cbd", Ep, Qb, Eq, precision=_PREC)
     out = out + jnp.einsum("cveb,cveg,cgd->cbd", Ep, Qcg[imp], Cgq, precision=_PREC)
     out = out + jnp.einsum("cgb,cwfg,cwfd->cbd", Cgp, Qcg[imq], Eq, precision=_PREC)
