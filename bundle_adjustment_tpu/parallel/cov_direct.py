@@ -194,21 +194,27 @@ def assemble_reduced_base(p: engine.FMProblem, b: engine.FMBlocks,
 
 def assemble_reduced_corrections(p: engine.FMProblem, b: engine.FMBlocks,
                                  S0=None, chunk: int | None = None):
-    """Stage 2: the chunked camera-camera / camera-global Schur
-    corrections.  With ``S0`` given, returns the corrected S (one-shot
-    path); with ``S0=None`` returns the raw (Acc [K, K], Acg [K, G])
-    accumulators so the subtraction can run as its own tiny program
-    (`apply_corrections` with both u x u buffers donated) — at 1M pts /
-    5k img the accumulator, S0 and the linearisation rows together
-    exceed HBM.  Consumes only the Jp/PJc/PJg rows + Hpp_inv."""
+    """Stage 2: the camera-camera / camera-global Schur corrections as
+    chunked SPARSE pair blocks.
+
+    Each point touches only its V image blocks, so its correction is a
+    [V6, V6] block outer product — P * (3 * (6V)^2) useful flops (~6e10 at
+    1M pts), where the earlier dense [3c, K] panel formulation spent
+    P * 3 * K^2 (~3e15 at K = 30k; a single dispatch ran past the TPU
+    worker watchdog and surfaced as a kernel fault).  The pair blocks are
+    scatter-added into the [K, K] accumulator once per chunk.
+
+    With ``S0`` given returns the corrected S (one-shot path); with
+    ``S0=None`` returns (Acc [K, K], Acg [K, G]) so the subtraction runs
+    as its own donated program.  Consumes only the Jp/PJc/PJg rows +
+    Hpp_inv."""
     M, G2 = p.num_images, len(b.Jg) // 2
     P_, V = p.num_points, p.views
     K = 6 * M
     dt = b.Jp[0].dtype
     if chunk is None:
-        # the loop body holds two [chunk*3, K] slabs (D, B) plus the
-        # accumulator; bound the slabs to ~300 MB so M = 5000 stays viable
-        target = max(128, int(3.0e8 / (24 * K)))
+        # [c, V, V, 6, 6] pair tensor ~ c * V^2 * 144 bytes; keep ~300 MB
+        target = max(64, int(3.0e8 / (V * V * 144)))
         chunk = _choose_chunk(P_, min(4096, target))
 
     # all large per-observation/per-point quantities in the 2D row form
@@ -221,46 +227,35 @@ def assemble_reduced_corrections(p: engine.FMProblem, b: engine.FMBlocks,
     img = p.obs_image.astype(jnp.int32)
     nchunks = P_ // chunk
     cV = chunk * V
+    i6 = jnp.arange(6)
 
     def body(i, carry):
         Acc, Acg = carry
         o0 = i * cV
-        # [18, cV] slice -> small [cV, 3, 6] tensor (transpose of a slice)
-        hpc = jax.lax.dynamic_slice(
-            hpc2, (0, o0), (18, cV)).T.reshape(cV, 3, 6)
-        im = jax.lax.dynamic_slice(img, (o0,), (cV,))
-        pl = jnp.arange(cV, dtype=jnp.int32) // jnp.int32(V)
-        D = jnp.zeros((chunk, 3, M, 6), dt).at[pl, :, im, :].add(hpc)
-        D2 = D.reshape(chunk, 3, K)
-        h = jax.lax.dynamic_slice(hinv_rows, (0, i * chunk), (6, chunk))
-        h = h[:, :, None]                                 # [6, chunk, 1]
-        B0 = h[0] * D2[:, 0] + h[1] * D2[:, 1] + h[2] * D2[:, 2]
-        B1 = h[1] * D2[:, 0] + h[3] * D2[:, 1] + h[4] * D2[:, 2]
-        B2r = h[2] * D2[:, 0] + h[4] * D2[:, 1] + h[5] * D2[:, 2]
-        Bf = jnp.stack([B0, B1, B2r], axis=1).reshape(chunk * 3, K)
-        Df = D2.reshape(chunk * 3, K)
-        # accumulate in column tiles: a full [K, K] matmul temp next to
-        # the [K, K] accumulator exceeds HBM at K = 30k (measured)
-        kb = K
-        for cand in (7680, 6144, 6000, 5120, 5000, 4096, 3840, 3000):
-            if K % cand == 0:
-                kb = cand
-                break
-
-        def colblk(jj, Acc_):
-            Bcol = jax.lax.dynamic_slice(Bf, _i32c(0, jj * kb),
-                                         (chunk * 3, kb))
-            upd = jnp.matmul(Df.T, Bcol, precision=_PREC)   # [K, kb]
-            old = jax.lax.dynamic_slice(Acc_, _i32c(0, jj * kb), (K, kb))
-            return jax.lax.dynamic_update_slice(Acc_, old + upd,
-                                                _i32c(0, jj * kb))
-
-        Acc = jax.lax.fori_loop(0, K // kb, colblk, Acc)
-        wpg = jax.lax.dynamic_slice(
-            W_rows, (0, i * chunk), (3 * G2, chunk))      # [3G, chunk]
-        wpg = wpg.reshape(3, G2, chunk).transpose(2, 0, 1).reshape(
-            chunk * 3, G2)
-        Acg = Acg + jnp.matmul(Df.T, wpg, precision=_PREC)
+        hpc_v = jax.lax.dynamic_slice(
+            hpc2, (0, o0), (18, cV)).T.reshape(chunk, V, 3, 6)
+        im = jax.lax.dynamic_slice(img, (o0,), (cV,)).reshape(chunk, V)
+        h = jax.lax.dynamic_slice(hinv_rows, _i32c(0, i * chunk),
+                                  (6, chunk))
+        hin = jnp.stack([
+            jnp.stack([h[0], h[1], h[2]], axis=1),
+            jnp.stack([h[1], h[3], h[4]], axis=1),
+            jnp.stack([h[2], h[4], h[5]], axis=1),
+        ], axis=1)                                        # [c, 3, 3]
+        Bv = jnp.einsum("cab,cvbe->cvae", hin, hpc_v, precision=_PREC)
+        pair = jnp.einsum("cvae,cwaf->cvwef", hpc_v, Bv,
+                          precision=_PREC)                # [c, V, V, 6, 6]
+        I = (6 * im)[:, :, None, None, None] + i6[None, None, None, :, None]
+        J = (6 * im)[:, None, :, None, None] + i6[None, None, None, None, :]
+        Acc = Acc.at[jnp.broadcast_to(I, pair.shape),
+                     jnp.broadcast_to(J, pair.shape)].add(pair)
+        wc = jax.lax.dynamic_slice(
+            W_rows, _i32c(0, i * chunk), (3 * G2, chunk))
+        wc = wc.reshape(3, G2, chunk).transpose(2, 0, 1)  # [c, 3, G]
+        pg = jnp.einsum("cvae,cag->cveg", hpc_v, wc,
+                        precision=_PREC)                  # [c, V, 6, G]
+        Ig = (6 * im)[:, :, None] + i6[None, None, :]     # [c, V, 6]
+        Acg = Acg.at[Ig.reshape(-1)].add(pg.reshape(-1, G2))
         return Acc, Acg
 
     Acc, Acg = jax.lax.fori_loop(
