@@ -80,9 +80,6 @@ def _hpg_rows2d(p: engine.FMProblem, b: engine.FMBlocks):
 def _w_rows2d(b: engine.FMBlocks, hpg_rows, G2):
     """W = Hpp^{-1} Hpg as rows [3*G, P] from the 6 symmetric inverse
     rows (engine._hinv_apply per global column)."""
-    out = []
-    for a in range(3):
-        out.append(None)
     rows = []
     for g in range(G2):
         z = engine._hinv_apply(b.Hpp_inv, hpg_rows[0 * G2 + g],

@@ -578,11 +578,11 @@ def prepare(p: FMProblem, state: ParamState, spec, damping,
 
 def reduce_blocks(p: FMProblem, b: FMBlocks, state: ParamState, damping,
                   couple_global: bool = False, axis: str | None = None,
-                  cam_scatter: bool = False, de_resid=None):
+                  cam_scatter: bool = False):
     """`prepare` minus the linearisation: build rhs + preconditioner from
-    an existing FMBlocks (callers may have replaced the misclosure rows —
-    the mixed-precision refiner injects f64-accurate w/Pw/bp/bg before
-    reducing)."""
+    an existing FMBlocks.  (The mixed-precision refiner does NOT route its
+    f64 gradient through here — it folds the f64 rhs into the CG right-hand
+    side directly, refine.Refiner._step_impl.)"""
     if cam_scatter and axis is None:
         raise ValueError("cam_scatter requires axis (a shard_map axis name)")
 
@@ -659,23 +659,17 @@ def reduce_blocks(p: FMProblem, b: FMBlocks, state: ParamState, damping,
     WM = jnp.stack([W[g][a] for a in range(3) for g in range(G2)])
     T3 = _ps(jnp.matmul(WM, HpgM.T, precision=_PREC))  # [(3G), (3G)]
     return finish_reduction(p, b, state, damping, red, rg_corr, T2, T3,
-                            couple_global, axis=axis, cam_scatter=cam_scatter,
-                            de_resid=de_resid)
+                            couple_global, axis=axis, cam_scatter=cam_scatter)
 
 
 def finish_reduction(p: FMProblem, b: FMBlocks, state: ParamState, damping,
                      red, rg_corr, T2, T3, couple_global,
-                     axis: str | None = None, cam_scatter: bool = False,
-                     de_resid=None):
+                     axis: str | None = None, cam_scatter: bool = False):
     """Shared tail of `prepare`: turn the fused per-image reduction ``red``
     [M(, /D), 39 (+ 6G)], the global rhs correction ``rg_corr`` [G], and the
     Sgg matmul pieces ``T2`` [2G, 2G] / ``T3`` [3G, 3G] into
     (blocks, rc, rg, Precond).  Used by both the XLA reduction above and the
-    fused Pallas assembly kernel (kernels.prepare_pallas).
-
-    ``de_resid``: optional override for the directly-observed-EO residual
-    (de_val - eo); the mixed-precision refiner passes the f64-accurate
-    value (the f32 difference cancels catastrophically near convergence)."""
+    fused Pallas assembly kernel (kernels.prepare_pallas)."""
     G2 = len(b.Jg) // 2
     if cam_scatter:
         m_rows = red.shape[0]
@@ -694,8 +688,7 @@ def finish_reduction(p: FMProblem, b: FMBlocks, state: ParamState, damping,
     extra_c = damping * red[:, 6:12] + (1.0 - free_eo)
     if de_w is not None:
         we = de_w * free_eo
-        dres = (de_val - eo_own) if de_resid is None else de_resid
-        bc = bc + we * dres
+        bc = bc + we * (de_val - eo_own)
         extra_c = extra_c + we * (1.0 + damping)
     rc = bc - red[:, 12:18]
     tri = red[:, 18:39]

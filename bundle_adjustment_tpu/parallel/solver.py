@@ -23,6 +23,7 @@ import numpy as np
 
 from ..models.problem import ParamState
 from ..solver.adjustment import BundleAdjustment as _DenseBundleAdjustment
+from ..solver.adjustment import lm_gain_update as _lm_gain_update
 from . import rcs
 
 
@@ -88,7 +89,13 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
 
     if simulation:
         # zero rhs => dx = 0 exactly; validate one linearisation pass so
-        # singular geometry still surfaces, then report the zero result
+        # singular geometry still surfaces, then report the zero result.
+        # Event stream: one ITERATE (the single validation pass) followed by
+        # CONVERGENCE, mirroring the reference's SIMULATION loop which still
+        # iterates once (BundleAdjustment.java:830-831); checkpointing is a
+        # no-op here — the state never changes, so there is nothing to
+        # resume from.
+        fire("ITERATE", max_iterations, 1)
         dxp, dxc, dxg, b, cg_it, ext = jax.jit(
             lambda st: rcs.lm_step_full(problem, st, spec,
                                         jnp.asarray(0.0, dtype),
@@ -137,14 +144,12 @@ def solve(problem: rcs.RCSProblem, state: ParamState, spec,
             alpha = min(0.25 * adapted ** -0.05, 0.75)
             cur = float(omega_fn(b, ext, alpha * dxp, alpha * dxc,
                                  alpha * dxg))
-            prev = omega_prev if omega_prev > 0 else float(np.finfo(float).max)
             lam_old = adapted
-            if prev >= cur:
-                adapted *= 0.2
-                omega_prev = cur
-            else:
-                adapted *= 5.0
-                omega_prev = cur
+            # shared reference schedule incl. the 1/sqrt(eps) runaway cap +
+            # Omega reset (BundleAdjustment.java:403-415)
+            adapted, omega_prev, accepted = _lm_gain_update(
+                adapted, omega_prev, cur)
+            if not accepted:
                 rejected = True
                 max_dx = last_valid_dx
             fire("LEVENBERG_MARQUARDT_STEP", lam_old, adapted)

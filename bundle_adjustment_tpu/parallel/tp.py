@@ -11,23 +11,33 @@ blocked right-looking Cholesky** whose row panels live on different
 devices of a `jax.sharding.Mesh` — the TPU-native equivalent of a
 ScaLAPACK ``pdpotrf``:
 
-* row-panel distribution: device d owns the contiguous rows
-  ``[d*n/D, (d+1)*n/D)`` of the matrix (and of the resulting factor);
-* per block step: the owner's diagonal block row is replicated with one
-  ``psum`` (masked contribution trick), every device solves its local
-  panel against ``L_kk^{-T}`` (its *factorization panel*), one tiled
-  ``all_gather`` re-forms the full column panel, and the trailing update
-  is a local [n/D, bs] @ [bs, n] MXU matmul;
-* triangular solves stream block-wise with one small ``psum`` per step.
+Two factorization bodies exist, dispatched by `cholesky_traced` on the
+block count nb = n/block:
 
-Static shapes throughout (`lax.fori_loop` + masking): the trailing update
-always spans the full row, so the kernel spends ~3x the flops of a
-perfectly-shrinking factorization — the price of XLA-friendly control
-flow; the panels and updates are large MXU matmuls, and memory per device
-is n^2/D.  Use the implicit PCG (`rcs.pcg`) for the 100k+-point regime;
-use this for a direct solve / dense factor of reduced systems that
-exceed a single device or when a factor is wanted for many right-hand
-sides (covariance columns).
+* ``_chol_cyclic`` (nb <= _MAX_UNROLL, the perf path): BLOCK-CYCLIC row
+  distribution (device d owns global block rows k with k % D == d, the
+  ScaLAPACK ``pdpotrf`` layout) with a Python-unrolled outer loop, so
+  every trailing update is a STATIC SHRINKING slice — only rows/cols > k
+  — and the per-device trailing work shrinks in step with the
+  elimination.  Per block step: the owner's block row is replicated with
+  one ``psum`` (masked contribution trick), every device solves its
+  local panel against ``L_kk^{-T}``, one ``all_gather`` re-forms the
+  column panel in natural order, and the trailing update is a local MXU
+  matmul over the remaining rows.  Measured (BENCH_r04): 2276 GFLOP/s at
+  n = 4096 on one v5e chip = 83% of the single-chip XLA Cholesky.
+* ``_chol_local`` (nb > _MAX_UNROLL fallback): contiguous row panels +
+  `lax.fori_loop` with full-width masked trailing updates — bounded
+  compile time for very large nb at ~3x the useful flops.
+
+Triangular solves stream block-wise with one small ``psum`` per step.
+Memory per device is n^2/D.  `distributed_cholesky` wraps
+`cholesky_traced` with explicit device placement for eager callers; use
+`cholesky_traced` inside larger jitted programs (solver steps,
+benchmarks).  Use the
+implicit PCG (`rcs.pcg`) for the 100k+-point regime; use this for a
+direct solve / dense factor of reduced systems that exceed a single
+device or when a factor is wanted for many right-hand sides (covariance
+columns).
 
 Cross-checks: `tests/test_tp_cholesky.py` pins the distributed factor,
 solve, and the assembled reduced system against `jnp.linalg` and the PCG

@@ -79,6 +79,29 @@ class _Kernels:
     solve_final: Callable
 
 
+def lm_gain_update(adapted_damping: float, omega_prev: float,
+                   omega_cur: float):
+    """The reference's gain-ratio damping schedule, shared by the dense and
+    the scale (parallel/solver.py) LM drivers.
+
+    prevOmega >= curOmega accepts the step and relaxes lambda x0.2;
+    otherwise lambda grows x5 up to the runaway cap 1/sqrt(eps), at which
+    point Omega is reset to 0 so the *next* gain test necessarily accepts —
+    the escape hatch that forces a step instead of diverging lambda
+    (BundleAdjustment.java:403-415).
+
+    Returns (new_damping, new_omega, accepted)."""
+    prev = omega_prev if omega_prev > 0 else float(np.finfo(float).max)
+    if prev >= omega_cur:
+        return adapted_damping * 0.2, omega_cur, True
+    adapted_damping *= 5.0
+    omega = omega_cur
+    if adapted_damping > 1.0 / SQRT_EPS:
+        adapted_damping = 1.0 / SQRT_EPS
+        omega = 0.0
+    return adapted_damping, omega, False
+
+
 class BundleAdjustment:
     """User-facing solver, API-compatible with the reference class
     (BundleAdjustment.java:652-665, 1123-1199)."""
@@ -418,18 +441,10 @@ class BundleAdjustment:
             if adapted_damping > 0:
                 alpha = min(0.25 * adapted_damping ** -0.05, 0.75)
                 dx = dx * alpha
-                prev_omega = self.omega if self.omega > 0 else np.finfo(float).max
                 cur_omega = float(kernels.omega(state, jnp.asarray(dx)))
-                lma_converge = prev_omega >= cur_omega
-                self.omega = cur_omega
                 last_damping = adapted_damping
-                if lma_converge:
-                    adapted_damping *= 0.2
-                else:
-                    adapted_damping *= 5.0
-                    if adapted_damping > 1.0 / SQRT_EPS:
-                        adapted_damping = 1.0 / SQRT_EPS
-                        self.omega = 0.0
+                adapted_damping, self.omega, lma_converge = lm_gain_update(
+                    adapted_damping, self.omega, cur_omega)
                 self.status = EstimationState.LEVENBERG_MARQUARDT_STEP
                 self._fire(self.status.name, last_damping, adapted_damping)
                 if not lma_converge:
