@@ -286,7 +286,12 @@ def _time(fn, reps, *args, uniq=None):
 
 def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
                emit):
-    """Covariance phase shared by config-4 (fused) and config-5 (staged)."""
+    """Covariance phase shared by config-4 (fused) and config-5 (staged).
+
+    Records WHICH path ran (`cov_path`) and, for the staged path, the
+    per-stage first-call seconds (`cov_stage_s`) — emitted progressively
+    so a crashed stage is identifiable from the bench record (VERDICT r4
+    weak 3: the r04 record could not say which stage died)."""
     import time
 
     import jax
@@ -313,7 +318,21 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
     # bigargs.split_big float_only — argument indices OOM the XLA gather)
     cb_names, cb_vals = bigargs.split_big(fmp, float_only=True)
 
+    stage_s = {}
+    out["cov_stage_s"] = stage_s
+
+    def _mark(name, t_start, x=None):
+        if x is not None:
+            jax.block_until_ready(x)
+        stage_s[name] = round(time.time() - t_start, 2)
+        print(f"cov stage {name}: {stage_s[name]}s", file=sys.stderr)
+        if emit is not None:
+            emit(dict(out))
+        return time.time()
+
     if fused_ok:
+        out["cov_path"] = "fused_panel"
+
         def cov_all(cbig, st):
             fp = bigargs.merge(fmp, cb_names, cbig)
             bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
@@ -325,7 +344,10 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
 
         def covf_(st):
             return cov0_(cb_vals, st)
+        reps = 4
     else:
+        out["cov_path"] = "staged_sparse"
+
         # four programs, each relinearising and dead-code-eliminating the
         # rows it does not read, with u x u buffers donated between them —
         # the peak per stage stays under HBM at 1M pts / 5k img
@@ -359,18 +381,32 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
             Acc, Acg = stage_Sc_(cb_vals, st)
             Qred = inv_(apply_(stage_S0_(cb_vals, st), Acc, Acg))
             return stage_Q_(cb_vals, st, Qred)
+
+        # stage-by-stage first calls (compile + run each, with progress
+        # emits): a compile failure is then attributable to its stage
+        t = time.time()
+        Acc, Acg = stage_Sc_(cb_vals, state)
+        t = _mark("Sc", t, (Acc, Acg))
+        S0 = stage_S0_(cb_vals, state)
+        t = _mark("S0", t, S0)
+        Qred = inv_(apply_(S0, Acc, Acg))
+        t = _mark("inv", t, Qred)
+        Q1 = stage_Q_(cb_vals, state, Qred)
+        _mark("Q", t, Q1)
+        del S0, Acc, Acg, Qred, Q1
+        reps = 2
     Q = covf_(state)
     jax.block_until_ready(Q)
     compiles["cov_compile_s"] = round(time.time() - t0, 2)
     dt_c, Q = _time_chain(
-        covf_, 2,
+        covf_, reps,
         lambda o, a: (a[0]._replace(points=a[0].points + 1e-12 * o[:, :, 0]),),
         state)
     out["cov_point_blocks_per_s"] = round(int(Q.shape[0]) / dt_c, 1)
     out["cov_all_points_s"] = round(dt_c, 3)
     print(f"covariance: ALL {int(Q.shape[0])} point blocks in {dt_c:.3f}s "
-          f"({out['cov_point_blocks_per_s']:.0f} blocks/s, direct factored)",
-          file=sys.stderr)
+          f"({out['cov_point_blocks_per_s']:.0f} blocks/s, direct factored, "
+          f"{out['cov_path']})", file=sys.stderr)
     if emit is not None:
         emit(dict(out))
 

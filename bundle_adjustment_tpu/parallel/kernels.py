@@ -292,29 +292,22 @@ def make_cam_gather(p, h: int | None = None, interpret: bool = False):
 # matvec kernel
 # ---------------------------------------------------------------------------
 
-def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
-                   outc_ref, outg_ref, *, views, g, pb, H, W,
-                   passes=3):
-    """Matvec over the LEAN PREFIX of the packed layout: P-weighted
-    products recombined in-kernel via the 2x2 weight rows
-    (t = W2 s, u = W2 r) — 40-45%% fewer row reads than consuming the
-    precomputed PJ tail."""
+def _matvec_block(pk, img, hpp, xcT, xg, *, views, g, pb, H, W, passes,
+                  g_pad8):
+    """One NB-lane sub-block of the matvec body; returns (contrib_c
+    [8W, H], contrib_g [g_pad8, 8]) for this block's lanes."""
     f32 = jnp.float32
     off = _offsets(g)
     nb = views * pb
-    pk = packed_ref[:]          # [F_pad, NB] (view-major lanes)
-    img = img_ref[:]            # [1, NB] int32
 
     onehot_hi, lo_mask = _two_level_onehot(img, H, W, nb)
 
-    xcT = xcT_ref[:]                                    # [8W, H]
     T1 = _dot_oh(xcT, onehot_hi, passes=passes)         # [8W, NB]
     if W == 1:
         xcr = T1
     else:
         xcr = sum(T1[w * 8:w * 8 + 8] * lo_mask[w] for w in range(W))
 
-    xg = xg_ref[:]                                      # [8, G_lane]
     jp, jc, jg, wo = off["Jp"], off["Jc"], off["Jg"], off["W"]
     wxx, wxy, wyy = pk[wo:wo + 1], pk[wo + 1:wo + 2], pk[wo + 2:wo + 3]
 
@@ -330,7 +323,7 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
 
     jt = pk[jp:jp + 3] * t0 + pk[jp + 3:jp + 6] * t1        # [3, NB]
     y = _view_sum(jt, views, pb)                            # [3, PB]
-    z = jnp.concatenate(_hinv_rows(hpp_ref[:], y[0:1], y[1:2], y[2:3]),
+    z = jnp.concatenate(_hinv_rows(hpp, y[0:1], y[1:2], y[2:3]),
                         axis=0)                              # [3, PB]
     zo = _view_bcast(z, views)                               # [3, NB]
 
@@ -350,28 +343,55 @@ def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
                             passes=passes)                       # [8W, H]
 
     qg = pk[jg:jg + g] * tv0 + pk[jg + g:jg + 2 * g] * tv1  # [G, NB]
-    g_pad8 = outg_ref.shape[0]
     qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
     ones = jnp.ones((nb, 8), jnp.bfloat16)
     contrib_g = _dot_oh(qg, ones, passes=passes)             # [G_pad8, 8]
+    return contrib_c, contrib_g
+
+
+def _matvec_kernel(xcT_ref, xg_ref, packed_ref, img_ref, hpp_ref,
+                   outc_ref, outg_ref, *, views, g, pb, H, W,
+                   passes=3, bsteps=1):
+    """Matvec over the LEAN PREFIX of the packed layout: P-weighted
+    products recombined in-kernel via the 2x2 weight rows
+    (t = W2 s, u = W2 r) — 40-45%% fewer row reads than consuming the
+    precomputed PJ tail.  ``bsteps``: NB-lane sub-blocks per grid step
+    (larger steps amortise the per-step grid/DMA overhead)."""
+    nb = views * pb
+    xcT = xcT_ref[:]                                    # [8W, H]
+    xg = xg_ref[:]                                      # [8, G_lane]
+    g_pad8 = outg_ref.shape[0]
+    acc_c = acc_g = None
+    for k in range(bsteps):
+        pk = packed_ref[:, k * nb:(k + 1) * nb]
+        img = img_ref[:, k * nb:(k + 1) * nb]
+        hpp = hpp_ref[:, k * pb:(k + 1) * pb]
+        cc, cg = _matvec_block(pk, img, hpp, xcT, xg, views=views, g=g,
+                               pb=pb, H=H, W=W, passes=passes,
+                               g_pad8=g_pad8)
+        acc_c = cc if acc_c is None else acc_c + cc
+        acc_g = cg if acc_g is None else acc_g + cg
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         outc_ref[:] = jnp.zeros_like(outc_ref)
         outg_ref[:] = jnp.zeros_like(outg_ref)
 
-    outc_ref[:] += contrib_c
-    outg_ref[:] += contrib_g
+    outc_ref[:] += acc_c
+    outg_ref[:] += acc_g
 
 
 def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
-                interpret: bool = False, passes: int = 3):
+                interpret: bool = False, passes: int = 3,
+                bsteps: int = 1):
     """Returns fn(xc [M, 6], xg [G]) -> (S@x)_c [M, 6], (S@x)_g [G].
 
     ``passes``: bf16 chunk count of the one-hot products (see `_dot_oh`);
     2 trades ~2^-16 relative operator error for one third less MXU work —
     safe for CG (operator, not a cancelling rhs), and the per-step rhs
-    and assembly stay 3-pass exact in `prepare_pallas`."""
+    and assembly stay 3-pass exact in `prepare_pallas`.
+    ``bsteps``: NB-lane sub-blocks per grid step (must divide the block
+    count); larger steps amortise per-grid-step overhead."""
     P, V, G = pp.num_points, pp.views, pp.g
     m_pad, H = pp.m_pad, pp.h
     if pb is not None and pb != pp.pb:
@@ -380,7 +400,10 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
     pb = pp.pb
     W = m_pad // H
     nb = pb * V
-    grid = (P // pb,)
+    if (P // pb) % bsteps:
+        raise ValueError(f"bsteps={bsteps} must divide the block count "
+                         f"{P // pb}")
+    grid = (P // pb // bsteps,)
     g_pad8 = ((G + 7) // 8) * 8
     g_lane = max(128, ((G + 127) // 128) * 128)
     w8 = 8 * W
@@ -391,7 +414,7 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
     packed_lean = pp.packed[:fl_pad]
 
     kernel = functools.partial(_matvec_kernel, views=V, g=G, pb=pb, H=H,
-                               W=W, passes=passes)
+                               W=W, passes=passes, bsteps=bsteps)
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -400,11 +423,11 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, g_lane), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((fl_pad, nb), lambda i: (0, i),
+            pl.BlockSpec((fl_pad, bsteps * nb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb), lambda i: (0, i),
+            pl.BlockSpec((1, bsteps * nb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, pb), lambda i: (0, i),
+            pl.BlockSpec((8, bsteps * pb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

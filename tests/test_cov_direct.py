@@ -37,6 +37,28 @@ def test_dense_assembly_matches_tp(small_problem):
     np.testing.assert_allclose(S1, S2, rtol=1e-9, atol=1e-9 * scale)
 
 
+def test_panel_and_sparse_corrections_agree(small_problem):
+    """The two corrections formulations (dense MXU panels vs sparse pair
+    blocks) produce the same (Acc, Acg) and the same assembled S for both
+    dispatch settings."""
+    from bundle_adjustment_tpu.parallel import cov_direct
+
+    problem, fmp, state, spec, b_fm, b_rcs = small_problem
+    Acc_p, Acg_p = cov_direct.assemble_corrections_panel(fmp, b_fm, chunk=64)
+    Acc_s, Acg_s = cov_direct.assemble_reduced_corrections(fmp, b_fm,
+                                                           chunk=64)
+    scale = np.abs(np.asarray(Acc_s)).max()
+    np.testing.assert_allclose(np.asarray(Acc_p), np.asarray(Acc_s),
+                               rtol=1e-9, atol=1e-9 * scale)
+    np.testing.assert_allclose(np.asarray(Acg_p), np.asarray(Acg_s),
+                               rtol=1e-9, atol=1e-9 * scale)
+    S_p = np.asarray(cov_direct.assemble_reduced_dense(fmp, b_fm, panel=True))
+    S_s = np.asarray(cov_direct.assemble_reduced_dense(fmp, b_fm,
+                                                       panel=False))
+    np.testing.assert_allclose(S_p, S_s, rtol=1e-9,
+                               atol=1e-9 * np.abs(S_s).max())
+
+
 def test_point_blocks_match_pcg(small_problem):
     """Dense-factored point blocks == matrix-free PCG recovery (f64)."""
     from bundle_adjustment_tpu.parallel import cov_direct, covariance

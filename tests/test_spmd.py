@@ -159,3 +159,19 @@ def test_spmd_fm_cam_shard_ragged_images():
     np.testing.assert_array_equal(np.asarray(eo)[23:],
                                   np.asarray(s2.eo)[23:])
     np.testing.assert_allclose(float(om), float(b.omega0), rtol=1e-10)
+
+
+def test_run_mesh_suite_smoke():
+    """bench.run_mesh_suite (the --mesh N perf mode) executes end-to-end on
+    a small virtual mesh and reports the contract fields (VERDICT r4
+    item 7: the mode was previously untested)."""
+    import bench as B
+
+    out = B.run_mesh_suite(2, 512, 16, 8)
+    assert out["mesh_devices"] == 2
+    assert out["mesh_platform"] == "cpu"
+    for key in ("mesh_lm_it_per_s_fixed_cg8", "mesh_matvec_ms",
+                "mesh_matvec_agg_gbps", "mesh_compile_s"):
+        assert key in out and np.isfinite(out[key]), key
+    assert out["mesh_lm_it_per_s_fixed_cg8"] > 0
+    assert out["mesh_matvec_ms"] > 0
