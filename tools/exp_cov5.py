@@ -105,43 +105,17 @@ def main():
                   f"HLO proto = {len(proto) / 1e6:.1f} MB", flush=True)
         return
 
-    # --run: compile + execute stage by stage
+    # --run: drive the bench covariance phase verbatim (stage-by-stage
+    # instrumentation + the same dispatch structure the driver runs)
     import numpy as np
 
-    jit_Sc = stages[0][1]
-    jit_S0 = stages[1][1]
-    jit_apply = stages[2][1]
-    jit_inv = stages[3][1]
-    jit_Q = stages[4][1]
-
-    def tstep(name, fn, *args):
-        t0 = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        t_compile = time.time() - t0
-        print(f"{name}: first call {t_compile:.1f}s", flush=True)
-        return out
-
-    Acc, Acg = tstep("stage_Sc", jit_Sc, cb_vals, state)
-    S0 = tstep("stage_S0", jit_S0, cb_vals, state)
-    S = tstep("apply", jit_apply, S0, Acc, Acg)
-    del S0, Acc, Acg
-    Qred = tstep("inverse", jit_inv, S)
-    del S
-    Q = tstep("stage_Q", jit_Q, cb_vals, state, Qred)
-    print("Q[0] =", np.asarray(Q[0]), flush=True)
-
-    # steady-state timing (2-rep slope, perturbation chain)
-    def covf(st):
-        Acc, Acg = jit_Sc(cb_vals, st)
-        Qred = jit_inv(jit_apply(jit_S0(cb_vals, st), Acc, Acg))
-        return jit_Q(cb_vals, st, Qred)
-
-    t0 = time.time()
-    Q = covf(state._replace(points=state.points + 1e-12))
-    jax.block_until_ready(Q)
-    print(f"steady: all {int(Q.shape[0])} blocks in {time.time() - t0:.2f}s",
-          flush=True)
+    out = {}
+    N_obs = int(fmp.obs_x.shape[0])
+    res = B._cov_phase(out, {}, fmp, state, spec, dtype, M, G, N_obs,
+                       emit=lambda partial: print(
+                           "EMIT", {k: v for k, v in partial.items()
+                                    if k.startswith("cov")}, flush=True))
+    print("RESULT", res, flush=True)
 
 
 if __name__ == "__main__":
