@@ -446,15 +446,59 @@ def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
     return assemble_reduced_corrections(p, b, S0, chunk=chunk)
 
 
-def reduced_inverse(S, panel: int | None = None):
+def _blocked_spd_solve_panel(L, E, bs: int):
+    """X with L L^T X = E by BLOCKED forward+backward substitution.
+
+    ``L`` [u_pad, u_pad] lower (u_pad a multiple of ``bs``), ``E``
+    [u_pad, pc].  XLA's monolithic `triangular_solve` lowering at
+    u = 30k requested 66.7 GB of HLO temps (58.7%% fragmentation —
+    measured round-5, the config-5 inverse-stage compile OOM); explicit
+    [bs, bs] x [bs, pc] tiles keep every temp a few hundred MB."""
+    u_pad = L.shape[0]
+    nbb = u_pad // bs
+
+    def blk(i, j):
+        return jax.lax.dynamic_slice(L, _i32c(i * bs, j * bs), (bs, bs))
+
+    def row(i, X):
+        return jax.lax.dynamic_slice(
+            X, _i32c(i * bs, 0), (bs, X.shape[1]))
+
+    # forward: L Y = E
+    Y = jnp.zeros_like(E)
+    for i in range(nbb):
+        rhs = row(i, E)
+        for j in range(i):
+            rhs = rhs - jnp.matmul(blk(i, j), row(j, Y), precision=_PREC)
+        yi = jax.lax.linalg.triangular_solve(
+            blk(i, i), rhs, left_side=True, lower=True)
+        Y = jax.lax.dynamic_update_slice(Y, yi, _i32c(i * bs, 0))
+
+    # backward: L^T X = Y
+    X = jnp.zeros_like(E)
+    dn_t = (((0,), (0,)), ((), ()))  # contract first dims: L_ji^T X_j
+    for i in range(nbb - 1, -1, -1):
+        rhs = row(i, Y)
+        for j in range(i + 1, nbb):
+            rhs = rhs - jax.lax.dot_general(
+                blk(j, i), row(j, X), dn_t, precision=_PREC)
+        xi = jax.lax.linalg.triangular_solve(
+            blk(i, i), rhs, left_side=True, lower=True, transpose_a=True)
+        X = jax.lax.dynamic_update_slice(X, xi, _i32c(i * bs, 0))
+    return X
+
+
+def reduced_inverse(S, panel: int | None = None, block: int = 4096):
     """S^{-1} via Cholesky (SPD; the reduced system of a datum-fixed or
     directly-observed network is SPD — survey F12 REDUCED semantics).
 
     For u beyond ``panel`` the identity right-hand side is streamed in
-    column panels: peak extra memory is L + Q + one [u, panel] slab
-    instead of the 4 u x u temporaries of the one-shot formulation
-    (which RESOURCE_EXHAUSTEDs at u = 30k on a 16 GB chip alongside a
-    1M-point problem)."""
+    column panels solved by BLOCKED substitution
+    (`_blocked_spd_solve_panel`): peak extra memory is L + Q + one
+    [u, panel] slab with [block, panel] temps.  Both the one-shot
+    formulation (4 u x u temporaries) and XLA's monolithic
+    triangular_solve on the panels (66.7 GB of fragmented HLO temps)
+    RESOURCE_EXHAUST a 16 GB chip at u = 30k (measured r03/r05)."""
     u = S.shape[0]
     L = jnp.linalg.cholesky(S)
     if panel is None:
@@ -465,7 +509,7 @@ def reduced_inverse(S, panel: int | None = None):
                                             lower=True)
         return jax.lax.linalg.triangular_solve(
             L, Y, left_side=True, lower=True, transpose_a=True)
-    u_pad = -(-u // panel) * panel
+    u_pad = -(-u // block) * block
     if u_pad > u:
         # pad L with an identity tail so the padded system stays SPD
         Lp = jnp.zeros((u_pad, u_pad), S.dtype)
@@ -477,15 +521,13 @@ def reduced_inverse(S, panel: int | None = None):
 
     def body(i, Q):
         E = (rows == cols + i * panel).astype(S.dtype)
-        Y = jax.lax.linalg.triangular_solve(L, E, left_side=True,
-                                            lower=True)
-        Qp = jax.lax.linalg.triangular_solve(
-            L, Y, left_side=True, lower=True, transpose_a=True)
-        return jax.lax.dynamic_update_slice(Q, Qp, (0, i * panel))
+        Qp = _blocked_spd_solve_panel(L, E, block)
+        return jax.lax.dynamic_update_slice(
+            Q, Qp[:u], _i32c(0, i * panel))
 
-    Q = jax.lax.fori_loop(0, u_pad // panel, body,
-                          jnp.zeros((u_pad, u_pad), S.dtype))
-    return Q[:u, :u]
+    npan = u_pad // panel
+    Q = jax.lax.fori_loop(0, npan, body, jnp.zeros((u, u_pad), S.dtype))
+    return Q[:, :u]
 
 
 def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,

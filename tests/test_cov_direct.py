@@ -129,3 +129,18 @@ def test_panel_streamed_inverse(small_problem):
         np.testing.assert_allclose(Qp, Q0, rtol=5e-9,
                                    atol=5e-9 * np.abs(Q0).max())
     assert Q0.shape == (u, u)
+
+
+def test_blocked_reduced_inverse_matches_oneshot():
+    """The blocked-substitution panel inverse (the u=30k memory path) ==
+    the one-shot triangular-solve inverse on a small SPD matrix, including
+    a non-dividing u (identity-tail padding)."""
+    from bundle_adjustment_tpu.parallel import cov_direct
+
+    rng = np.random.default_rng(9)
+    u = 300  # not a multiple of block
+    A = rng.normal(0, 1, (u, 24))
+    S = jnp.asarray(A @ A.T + u * np.eye(u))
+    Q0 = np.asarray(cov_direct.reduced_inverse(S))
+    Q1 = np.asarray(cov_direct.reduced_inverse(S, panel=64, block=64))
+    np.testing.assert_allclose(Q1, Q0, rtol=1e-9, atol=1e-12)
