@@ -408,11 +408,17 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
 
         def covf_(st):
             # corrections BEFORE the base: holding S0 across the
-            # correction loop is a runtime OOM at 1M (measured)
+            # correction loop is a runtime OOM at 1M (measured); drop every
+            # big reference the moment its consumer has it — Acc's donation
+            # into apply_ cannot alias the [u, u] output (shape mismatch),
+            # so only the refcount frees its 3.6 GB
             h, br, wr = stage_rows_(cb_vals, st)
             Acc, Acg = corr_all(h, br, wr)
             del h, br, wr
-            Qred = inv_(apply_(stage_S0_(cb_vals, st), Acc, Acg))
+            S = apply_(stage_S0_(cb_vals, st), Acc, Acg)
+            del Acc, Acg
+            Qred = inv_(S)
+            del S
             return stage_Q_(cb_vals, st, Qred)
 
         # stage-by-stage first calls (compile + run each, with progress
@@ -427,19 +433,34 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
         t = _mark("corr", t, (Acc, Acg))
         S0 = stage_S0_(cb_vals, state)
         t = _mark("S0", t, S0)
-        Qred = inv_(apply_(S0, Acc, Acg))
+        S_ = apply_(S0, Acc, Acg)
+        del S0, Acc, Acg
+        Qred = inv_(S_)
+        del S_
         t = _mark("inv", t, Qred)
         Q1 = stage_Q_(cb_vals, state, Qred)
         _mark("Q", t, Q1)
-        del S0, Acc, Acg, Qred, Q1
+        del Qred, Q1
         reps = 2
-    Q = covf_(state)
-    jax.block_until_ready(Q)
-    compiles["cov_compile_s"] = round(time.time() - t0, 2)
-    dt_c, Q = _time_chain(
-        covf_, reps,
-        lambda o, a: (a[0]._replace(points=a[0].points + 1e-12 * o[:, :, 0]),),
-        state)
+    if reps > 2:
+        Q = covf_(state)
+        jax.block_until_ready(Q)
+        compiles["cov_compile_s"] = round(time.time() - t0, 2)
+        dt_c, Q = _time_chain(
+            covf_, reps,
+            lambda o, a: (a[0]._replace(
+                points=a[0].points + 1e-12 * o[:, :, 0]),),
+            state)
+    else:
+        # staged path (1M): the stage-by-stage warm-up above compiled every
+        # program; ONE warm full pass is the steady rate — its 600+
+        # dependent dispatches cannot be elided by the relay, and a 3-pass
+        # slope would cost ~20 extra minutes of bench wall-clock
+        compiles["cov_compile_s"] = round(time.time() - t0, 2)
+        t1 = time.time()
+        Q = covf_(state._replace(points=state.points + 1e-12))
+        _fetch(Q)
+        dt_c = time.time() - t1
     out["cov_point_blocks_per_s"] = round(int(Q.shape[0]) / dt_c, 1)
     out["cov_all_points_s"] = round(dt_c, 3)
     print(f"covariance: ALL {int(Q.shape[0])} point blocks in {dt_c:.3f}s "

@@ -150,7 +150,7 @@ def test_view_major_engine_parity(small_problem):
     np.testing.assert_allclose(om, om_ref, rtol=1e-10)
 
 
-def _pallas_matvec_case(problem, state, spec, pb=None, h=None):
+def _pallas_matvec_case(problem, state, spec, pb=None, h=None, bsteps=1):
     """Shared harness: interpret-mode kernel vs f64 XLA matvec."""
     from bundle_adjustment_tpu.parallel import kernels
 
@@ -170,7 +170,7 @@ def _pallas_matvec_case(problem, state, spec, pb=None, h=None):
 
     mv = kernels.make_matvec(
         pp, b32.extra_c.astype(jnp.float32),
-        b32.extra_g.astype(jnp.float32), interpret=True)
+        b32.extra_g.astype(jnp.float32), interpret=True, bsteps=bsteps)
     oc, og = mv(xc, xg)
 
     oc_ref, og_ref = engine.schur_matvec(pv, b, xc.astype(jnp.float64),
@@ -185,6 +185,14 @@ def test_pallas_matvec_interpret(small_problem):
     """Kernel vs XLA engine matvec, interpret mode (no TPU needed)."""
     problem, state, spec = small_problem
     _pallas_matvec_case(problem, state, spec)
+
+
+def test_pallas_matvec_bsteps():
+    """bsteps > 1 (multiple lane sub-blocks per grid step) is exact."""
+    import bench as B
+
+    problem, state, spec = B.build_problem(512, 24, 8, jnp.float64, seed=3)
+    _pallas_matvec_case(problem, state, spec, pb=128, bsteps=2)
 
 
 def test_pallas_matvec_two_level_onehot():
