@@ -195,18 +195,21 @@ def _mm_split3(A, B):
     relative error — 2x the single-pass-per-operand peak rate of
     Precision.HIGHEST's 6 passes, far beyond the ~4e-3 of one bf16 pass.
     For the O(P*K^2) covariance correction panels at the 1M scale, where
-    HIGHEST costs minutes of MXU time."""
+    HIGHEST costs minutes of MXU time.
+
+    The three passes ride ONE dot over a concatenated contraction axis —
+    three separate dots each materialise a [K, K] f32 partial before the
+    adds when XLA declines to fuse them (measured r05: 20.5 GB compile
+    OOM at chunk = 1202 vs a clean fit at 416)."""
     f32 = jnp.float32
     bf = jnp.bfloat16
     a1 = A.astype(bf)
     a2 = (A - a1.astype(f32)).astype(bf)
     b1 = B.astype(bf)
     b2 = (B - b1.astype(f32)).astype(bf)
-
-    def d(x, y):
-        return jnp.dot(x, y, preferred_element_type=f32)
-
-    return d(a1, b1) + d(a1, b2) + d(a2, b1)
+    A3 = jnp.concatenate([a1, a1, a2], axis=1)
+    B3 = jnp.concatenate([b1, b2, b1], axis=0)
+    return jnp.dot(A3, B3, preferred_element_type=f32)
 
 
 def assemble_corrections_panel(p: engine.FMProblem, b: engine.FMBlocks,
@@ -269,12 +272,15 @@ def panel_rows(p: engine.FMProblem, b: engine.FMBlocks):
 
 
 def panel_chunking(p: engine.FMProblem, K: int,
-                   group_target_s: float = 3.0, split_dots: bool = True):
+                   group_target_s: float = 3.0, split_dots: bool = True,
+                   slab_bytes: float = 1.0e9):
     """(chunk, chunks_per_group) for the stepper: chunk bounded by the
-    ~300 MB panel slabs; group sized so one dispatch stays a few seconds
-    of MXU time (TPU worker watchdog safety — r03 measured a single
-    multi-minute dispatch surfacing as a kernel fault)."""
-    target = max(128, int(3.0e8 / (24 * K)))
+    ~1 GB panel slabs (bigger chunks = fatter [K, 3c] MXU matmuls — the
+    416-point chunks of the 300 MB budget ran the 1M corrections at only
+    ~62 TFLOP/s); group sized so one dispatch stays a few seconds of MXU
+    time (TPU worker watchdog safety — r03 measured a single multi-minute
+    dispatch surfacing as a kernel fault)."""
+    target = max(128, int(slab_bytes / (24 * K)))
     chunk = _choose_chunk(p.num_points, min(4096, target))
     passes = 3 if split_dots else 6
     flops_per_chunk = passes * 2 * 3 * chunk * K * K
@@ -501,7 +507,9 @@ def reduced_inverse(S, panel: int | None = None, block: int = 4096):
     RESOURCE_EXHAUST a 16 GB chip at u = 30k (measured r03/r05)."""
     u = S.shape[0]
     if panel is None:
-        panel = u if u <= 4096 else 4096
+        # 2048-wide panels on the blocked path: the r05 chip run at
+        # u = 30010 exceeded HBM by just 51 MB with 4096-wide slabs
+        panel = u if u <= 4096 else 2048
     if panel >= u:
         L = jnp.linalg.cholesky(S)
         eye = jnp.eye(u, dtype=S.dtype)
