@@ -307,19 +307,48 @@ def corrections_group(p: engine.FMProblem, hpc2, brow2, W_rows, G2: int,
     dt = hpc2.dtype
     img = p.obs_image.astype(jnp.int32)
     cV = chunk * V
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (1, 1, M), 2)
 
     def body(j, carry):
         Acc, Acg = carry
         i = i0 + j
         o0 = i * cV
+        im = jax.lax.dynamic_slice(img, _i32c(o0), (cV,)).reshape(chunk, V)
+        # exact-in-bf16 one-hot over images, replicated 3x along the
+        # contracted view axis for the split-operand exact-f32 fill
+        O = (im[:, :, None] == iota_m).astype(bf)        # [c, V, M]
+        Ocat = jnp.concatenate([O, O, O], axis=1)        # [c, 3V, M]
+        dn = (((1,), (1,)), ((0,), (0,)))
 
         def panel(rows2):
-            hpc = jax.lax.dynamic_slice(
-                rows2, _i32c(0, o0), (18, cV)).T.reshape(cV, 3, 6)
-            im = jax.lax.dynamic_slice(img, _i32c(o0), (cV,))
-            pl = jnp.arange(cV, dtype=jnp.int32) // jnp.int32(V)
-            D = jnp.zeros((chunk, 3, M, 6), dt).at[pl, :, im, :].add(hpc)
-            return D.reshape(chunk * 3, K)
+            if dt == jnp.float64:
+                # CPU parity path (f64 is CPU-only by convention): the
+                # scatter fill is exact and the TPU layout pathology
+                # below does not apply
+                hpc = jax.lax.dynamic_slice(
+                    rows2, _i32c(0, o0), (18, cV)).T.reshape(cV, 3, 6)
+                pl = jnp.arange(cV, dtype=jnp.int32) // jnp.int32(V)
+                D = jnp.zeros((chunk, 3, M, 6), dt).at[
+                    pl, :, im.reshape(-1), :].add(hpc)
+                return D.reshape(chunk * 3, K)
+            # one-hot batched MXU fill: the former [c, 3, M, 6] scatter
+            # destination is laid out 20x tile-padded at M = 5000
+            # (11.5 GB — measured r05 compile OOM); the value operand is
+            # split into 3 bf16 chunks so the fill stays f32-exact
+            h = jax.lax.dynamic_slice(
+                rows2, _i32c(0, o0), (18, cV)).T.reshape(chunk, V, 18)
+            h1 = h.astype(bf)
+            r = h - h1.astype(f32)
+            h2 = r.astype(bf)
+            h3 = (r - h2.astype(f32)).astype(bf)
+            Hcat = jnp.concatenate([h1, h2, h3], axis=1)  # [c, 3V, 18]
+            D = jax.lax.dot_general(Hcat, Ocat, dn,
+                                    preferred_element_type=f32)
+            # [c, 18, M] (row index a*6 + e) -> [c*3, 6M]
+            return D.reshape(chunk, 3, 6, M).transpose(
+                0, 1, 3, 2).reshape(chunk * 3, K)
 
         Df = panel(hpc2)
         Bf = panel(brow2)

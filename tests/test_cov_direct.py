@@ -144,3 +144,23 @@ def test_blocked_reduced_inverse_matches_oneshot():
     Q0 = np.asarray(cov_direct.reduced_inverse(S))
     Q1 = np.asarray(cov_direct.reduced_inverse(S, panel=64, block=64))
     np.testing.assert_allclose(Q1, Q0, rtol=1e-9, atol=1e-12)
+
+
+def test_panel_onehot_fill_f32():
+    """The f32 one-hot MXU panel fill (the TPU branch; scatter destinations
+    tile-pad 20x at M=5000) agrees with the sparse pair-block form to the
+    split-bf16 accuracy (~2^-16 relative)."""
+    import bench as B
+    from bundle_adjustment_tpu.parallel import cov_direct, engine
+
+    problem, state, spec = B.build_problem(192, 9, 4, jnp.float32, seed=3)
+    problem, state, _ = engine.pad_problem(problem, state, multiple=64)
+    fmp = engine.fm_problem(problem)
+    b = engine.linearize(fmp, state, spec, jnp.float32(0.0))
+    Acc_p, Acg_p = cov_direct.assemble_corrections_panel(fmp, b, chunk=64)
+    Acc_s, Acg_s = cov_direct.assemble_reduced_corrections(fmp, b, chunk=64)
+    scale = np.abs(np.asarray(Acc_s)).max()
+    np.testing.assert_allclose(np.asarray(Acc_p), np.asarray(Acc_s),
+                               rtol=1e-4, atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(Acg_p), np.asarray(Acg_s),
+                               rtol=1e-4, atol=1e-5 * scale)
