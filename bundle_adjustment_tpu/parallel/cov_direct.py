@@ -273,13 +273,14 @@ def panel_rows(p: engine.FMProblem, b: engine.FMBlocks):
 
 def panel_chunking(p: engine.FMProblem, K: int,
                    group_target_s: float = 3.0, split_dots: bool = True,
-                   slab_bytes: float = 1.0e9):
+                   slab_bytes: float = 3.0e8):
     """(chunk, chunks_per_group) for the stepper: chunk bounded by the
-    ~1 GB panel slabs (bigger chunks = fatter [K, 3c] MXU matmuls — the
-    416-point chunks of the 300 MB budget ran the 1M corrections at only
-    ~62 TFLOP/s); group sized so one dispatch stays a few seconds of MXU
-    time (TPU worker watchdog safety — r03 measured a single multi-minute
-    dispatch surfacing as a kernel fault)."""
+    ~300 MB panel slabs; group sized so one dispatch stays a few seconds
+    of MXU time (TPU worker watchdog safety — r03 measured a single
+    multi-minute dispatch surfacing as a kernel fault).  A 1 GB budget
+    (chunk = 1202) was tried for fatter MXU matmuls and RESOURCE_EXHAUSTED
+    at 1M runtime next to the [K, K] accumulator + dot output (r05);
+    chunk = 416 completes the 1M corrections in ~263 s."""
     target = max(128, int(slab_bytes / (24 * K)))
     chunk = _choose_chunk(p.num_points, min(4096, target))
     passes = 3 if split_dots else 6
