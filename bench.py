@@ -326,6 +326,14 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
 
     stage_s = {}
     out["cov_stage_s"] = stage_s
+    # driver-vs-local deltas >2x on cov_compile_s traced to persistent-
+    # cache keys rotating across relay grants (round-5: the same source
+    # produced multiple jit_make_rows cache entries): treat driver first
+    # calls as COLD compiles; cov_all_points_s below is measured on warm
+    # programs and is the comparable steady rate
+    out["cov_cache_note"] = ("first-call stage times include remote "
+                             "compiles; persistent-cache keys rotate "
+                             "across relay grants")
 
     def _mark(name, t_start, x=None):
         if x is not None:
@@ -663,6 +671,15 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     flops, fbytes = matvec_cost(N, G, views)
     if not full:
         out["compile_s"] = compiles
+        # free the solver-phase device state before the covariance phase:
+        # the 1M staged-cov peak (~15 GB incl. the XLA cholesky internals
+        # at u = 30k) needs the whole chip — the view-major row copies and
+        # the solver executables' embedded constants would push it over
+        import gc
+
+        del refiner, rstep, lm0_, lm_, lm, fixed, _run_fixed
+        del big_vals, fmv, r, r2, st, s, state0, s_ref
+        gc.collect()
         return _cov_phase(out, compiles, fmp, state, spec, dtype,
                           num_images, G, N, emit)
     prep_ = jax.jit(lambda st: engine.prepare(

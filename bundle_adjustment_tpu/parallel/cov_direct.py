@@ -524,7 +524,7 @@ def _blocked_spd_solve_panel(L, E, bs: int):
     return X
 
 
-def reduced_inverse(S, panel: int | None = None, block: int = 4096):
+def reduced_inverse(S, panel: int | None = None, block: int = 2048):
     """S^{-1} via Cholesky (SPD; the reduced system of a datum-fixed or
     directly-observed network is SPD — survey F12 REDUCED semantics).
 
@@ -539,7 +539,7 @@ def reduced_inverse(S, panel: int | None = None, block: int = 4096):
     if panel is None:
         # 2048-wide panels on the blocked path: the r05 chip run at
         # u = 30010 exceeded HBM by just 51 MB with 4096-wide slabs
-        panel = u if u <= 4096 else 2048
+        panel = u if u <= 4096 else 1024
     if panel >= u:
         L = jnp.linalg.cholesky(S)
         eye = jnp.eye(u, dtype=S.dtype)

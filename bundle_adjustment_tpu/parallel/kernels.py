@@ -173,6 +173,17 @@ def pack_fm(b, p, dtype=jnp.float32, with_pw: bool = False,
         m_pad=m_pad, g=G, f_pad=f_pad, pb=p.vm_pb, h=h)
 
 
+def choose_bsteps(P: int, pb: int, target: int = 1) -> int:
+    """Largest divisor of the block count P//pb that is <= target —
+    sub-blocks per matvec grid step (amortises per-step grid overhead)."""
+    nb = P // pb
+    best = 1
+    for k in range(1, min(target, nb) + 1):
+        if nb % k == 0:
+            best = k
+    return best
+
+
 def choose_pb(P: int, V: int, target_nb: int = 4096) -> int:
     """Largest PB (multiple of 128, Mosaic lane-block constraint) dividing P
     with V*PB <= target_nb."""
