@@ -399,12 +399,35 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
                          donate_argnums=(0, 1))
         inv_ = jax.jit(cov_direct.reduced_inverse, donate_argnums=0)
 
-        def stage_Q(cbig, st, Qred):
+        # recovery in multi-dispatch groups of sym-row outputs: one
+        # lax.map dispatch over all 601 chunks faulted the TPU and the
+        # [P, 3, 3] output tile-pads (8, 128) -> 4 GB at 1M (r05)
+        def stage_qrows(cbig, st):
             fp = bigargs.merge(fmp, cb_names, cbig)
             bl = engine.linearize(fp, st, spec, jnp.asarray(0.0, dtype))
-            return cov_direct.point_covariance_dense(fp, bl, Qred)
+            return cov_direct.recovery_rows(fp, bl)
 
-        stage_Q_ = jax.jit(stage_Q, donate_argnums=2)
+        stage_qrows_ = jax.jit(stage_qrows)
+        chunkq = cov_direct._choose_chunk(fmp.num_points, 512)
+        nchq = fmp.num_points // chunkq
+        groupq = max(1, nchq // 601) if nchq % 601 == 0 else 1
+        while nchq % groupq:
+            groupq -= 1
+        ngroups_q = nchq // groupq
+
+        def qrows_step(h2, hi, hg, Qred, i0):
+            return cov_direct.point_cov_group(
+                fmp, h2, hi, hg, Qred, G, i0, chunkq, groupq)
+
+        qrows_step_ = jax.jit(qrows_step)
+
+        def recover_all(st, Qred):
+            h2, hi, hg = stage_qrows_(cb_vals, st)
+            parts = [qrows_step_(h2, hi, hg, Qred,
+                                 jnp.int32(gi * groupq))
+                     for gi in range(ngroups_q)]
+            del h2, hi, hg
+            return jnp.concatenate(parts, axis=1)       # [6, P]
 
         def corr_all(h, br, wr):
             Acc = jnp.zeros((K6, K6), dtype)
@@ -427,7 +450,9 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
             del Acc, Acg
             Qred = inv_(S)
             del S
-            return stage_Q_(cb_vals, st, Qred)
+            rows6 = recover_all(st, Qred)
+            del Qred
+            return rows6                                # [6, P] sym rows
 
         # stage-by-stage first calls (compile + run each, with progress
         # emits): a compile failure is then attributable to its stage
@@ -446,7 +471,9 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
         Qred = inv_(S_)
         del S_
         t = _mark("inv", t, Qred)
-        Q1 = stage_Q_(cb_vals, state, Qred)
+        print(f"cov recovery: {ngroups_q} dispatches x {groupq} "
+              f"chunks of {chunkq} points", file=sys.stderr)
+        Q1 = recover_all(state, Qred)
         _mark("Q", t, Q1)
         del Qred, Q1
         reps = 2
@@ -469,9 +496,10 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
         Q = covf_(state._replace(points=state.points + 1e-12))
         _fetch(Q)
         dt_c = time.time() - t1
-    out["cov_point_blocks_per_s"] = round(int(Q.shape[0]) / dt_c, 1)
+    nblocks = int(Q.shape[0]) if Q.ndim == 3 else int(Q.shape[1])
+    out["cov_point_blocks_per_s"] = round(nblocks / dt_c, 1)
     out["cov_all_points_s"] = round(dt_c, 3)
-    print(f"covariance: ALL {int(Q.shape[0])} point blocks in {dt_c:.3f}s "
+    print(f"covariance: ALL {nblocks} point blocks in {dt_c:.3f}s "
           f"({out['cov_point_blocks_per_s']:.0f} blocks/s, direct factored, "
           f"{out['cov_path']})", file=sys.stderr)
     if emit is not None:

@@ -604,36 +604,14 @@ def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
     if chunk is None:
         chunk = _choose_chunk(k, 2048)
 
-    i6 = jnp.arange(6)
-    iV = jnp.arange(V)
-
     def one_chunk(ids):
-        c = ids.shape[0]
-        h = hinv_rows[:, ids]                             # [6, c]
-        hin = jnp.stack([
-            jnp.stack([h[0], h[1], h[2]], axis=1),
-            jnp.stack([h[1], h[3], h[4]], axis=1),
-            jnp.stack([h[2], h[4], h[5]], axis=1),
-        ], axis=1)                                        # [c, 3, 3]
-        obs = (ids[:, None] * V + iV[None, :]).reshape(-1)
-        hpc_v = hpc2[:, obs].T.reshape(c, V, 3, 6)
-        hpg_c = hpg_rows[:, ids].reshape(3, G2, c).transpose(2, 0, 1)
-        # E_v = (Hpc_v)^T Hppinv : the camera-row blocks of C_p  [c, V, 6, 3]
-        E = jnp.einsum("cvae,cab->cveb", hpc_v, hin, precision=_PREC)
-        Cg = jnp.einsum("cag,cab->cgb", hpg_c, hin, precision=_PREC)   # [c, G, 3]
-        im = img[ids]                                     # [c, V]
-        # gather the [c, V, V, 6, 6] camera blocks straight from the 2D
-        # Qred (a [M, 6, M, 6] reshape tile-pads to 76.8 GB at M = 5000)
-        I = (6 * im)[:, :, None, None, None] + i6[None, None, None, :, None]
-        J = (6 * im)[:, None, :, None, None] + i6[None, None, None, None, :]
-        Qb = Qred[I, J]                                   # [c, V, V, 6, 6]
-        corr = jnp.einsum("cveb,cvwef,cwfd->cbd", E, Qb, E, precision=_PREC)
-        Qg_v = Qcg[im]                                    # [c, V, 6, G]
-        cross = jnp.einsum("cveb,cveg,cgd->cbd", E, Qg_v, Cg, precision=_PREC)
-        corr = corr + cross + cross.transpose(0, 2, 1)
-        corr = corr + jnp.einsum("cgb,gh,chd->cbd", Cg, Qgg, Cg, precision=_PREC)
-        hin_sym = hin
-        return hin_sym + corr
+        rows = _pcd_chunk(p, hpc2, hinv_rows, hpg_rows, Qred, Qcg, Qgg,
+                          G2, ids)
+        return jnp.stack([
+            jnp.stack([rows[0], rows[1], rows[2]], axis=1),
+            jnp.stack([rows[1], rows[3], rows[4]], axis=1),
+            jnp.stack([rows[2], rows[4], rows[5]], axis=1),
+        ], axis=1)
 
     nch = k // chunk
     out = jax.lax.map(
@@ -644,6 +622,77 @@ def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
     if nch * chunk < k:  # remainder (point_ids not divisible by chunk)
         out = jnp.concatenate([out, one_chunk(point_ids[nch * chunk:])])
     return out
+
+
+def recovery_rows(p: engine.FMProblem, b: engine.FMBlocks):
+    """(hpc2 [18, N], hinv_rows [6, P], hpg_rows [3G, P]) for
+    `point_cov_group` — run as its own program at the 1M scale and feed
+    the outputs to the group dispatches as ARGUMENTS."""
+    b = engine.materialize_global_rows(p, b)
+    return (_hpc_rows2d(b), jnp.stack(list(b.Hpp_inv)),
+            _hpg_rows2d(p, b))
+
+
+def _pcd_chunk(p, hpc2, hinv_rows, hpg_rows, Qred, Qcg, Qgg, G2, ids):
+    """Core of the dense point-block recovery for one id chunk; returns
+    the 6 sym rows [6, c] (00,01,02,11,12,22)."""
+    V = p.views
+    img = p.obs_image.astype(jnp.int32).reshape(p.num_points, V)
+    i6 = jnp.arange(6)
+    iV = jnp.arange(V)
+    c = ids.shape[0]
+    h = hinv_rows[:, ids]                             # [6, c]
+    hin = jnp.stack([
+        jnp.stack([h[0], h[1], h[2]], axis=1),
+        jnp.stack([h[1], h[3], h[4]], axis=1),
+        jnp.stack([h[2], h[4], h[5]], axis=1),
+    ], axis=1)                                        # [c, 3, 3]
+    obs = (ids[:, None] * V + iV[None, :]).reshape(-1)
+    hpc_v = hpc2[:, obs].T.reshape(c, V, 3, 6)
+    hpg_c = hpg_rows[:, ids].reshape(3, G2, c).transpose(2, 0, 1)
+    # E_v = (Hpc_v)^T Hppinv : the camera-row blocks of C_p  [c, V, 6, 3]
+    E = jnp.einsum("cvae,cab->cveb", hpc_v, hin, precision=_PREC)
+    Cg = jnp.einsum("cag,cab->cgb", hpg_c, hin, precision=_PREC)
+    im = img[ids]                                     # [c, V]
+    # gather the [c, V, V, 6, 6] camera blocks straight from the 2D
+    # Qred (a [M, 6, M, 6] reshape tile-pads to 76.8 GB at M = 5000)
+    I = (6 * im)[:, :, None, None, None] + i6[None, None, None, :, None]
+    J = (6 * im)[:, None, :, None, None] + i6[None, None, None, None, :]
+    Qb = Qred[I, J]                                   # [c, V, V, 6, 6]
+    corr = jnp.einsum("cveb,cvwef,cwfd->cbd", E, Qb, E, precision=_PREC)
+    Qg_v = Qcg[im]                                    # [c, V, 6, G]
+    cross = jnp.einsum("cveb,cveg,cgd->cbd", E, Qg_v, Cg, precision=_PREC)
+    corr = corr + cross + cross.transpose(0, 2, 1)
+    corr = corr + jnp.einsum("cgb,gh,chd->cbd", Cg, Qgg, Cg,
+                             precision=_PREC)
+    Qblk = hin + corr
+    return jnp.stack([Qblk[:, 0, 0], Qblk[:, 0, 1], Qblk[:, 0, 2],
+                      Qblk[:, 1, 1], Qblk[:, 1, 2], Qblk[:, 2, 2]])
+
+
+def point_cov_group(p: engine.FMProblem, hpc2, hinv_rows, hpg_rows, Qred,
+                    G2: int, i0, chunk: int, ngroup: int):
+    """``ngroup`` recovery chunks starting at chunk index ``i0`` (traced —
+    one compiled program serves every group); returns the sym rows
+    [6, ngroup*chunk].  The multi-dispatch form of the all-points
+    recovery: at 1M the one-dispatch lax.map over 601 chunks faulted the
+    TPU (r05), and the [k, 3, 3] output tile-pads (8, 128) -> 4 GB —
+    rows stay 24 MB."""
+    M = p.num_images
+    K = 6 * M
+    Qcg = Qred[:K, K:].reshape(M, 6, G2)
+    Qgg = Qred[K:, K:]
+
+    def body(j, acc):
+        ids = (i0 + j) * chunk + jnp.arange(chunk)
+        rows = _pcd_chunk(p, hpc2, hinv_rows, hpg_rows, Qred, Qcg, Qgg,
+                          G2, ids)
+        return jax.lax.dynamic_update_slice(acc, rows,
+                                            _i32c(0, j * chunk))
+
+    return jax.lax.fori_loop(
+        0, ngroup, body,
+        jnp.zeros((6, ngroup * chunk), Qred.dtype))
 
 
 def camera_covariance_dense(Qred, image_ids):

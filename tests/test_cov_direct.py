@@ -164,3 +164,33 @@ def test_panel_onehot_fill_f32():
                                rtol=1e-4, atol=1e-5 * scale)
     np.testing.assert_allclose(np.asarray(Acg_p), np.asarray(Acg_s),
                                rtol=1e-4, atol=1e-5 * scale)
+
+
+def test_point_cov_group_matches_dense(small_problem):
+    """Multi-dispatch rows recovery (point_cov_group) == the one-shot
+    dense recovery."""
+    from bundle_adjustment_tpu.parallel import cov_direct
+
+    problem, fmp, state, spec, b_fm, b_rcs = small_problem
+    S = cov_direct.assemble_reduced_dense(fmp, b_fm)
+    Qred = cov_direct.reduced_inverse(S)
+    Qall = np.asarray(cov_direct.point_covariance_dense(fmp, b_fm, Qred))
+    G2 = Qred.shape[0] - 6 * fmp.num_images
+    h2, hi, hg = cov_direct.recovery_rows(fmp, b_fm)
+    chunk = 32
+    nch = fmp.num_points // chunk
+    rows = np.asarray(cov_direct.point_cov_group(
+        fmp, h2, hi, hg, Qred, G2, jnp.int32(0), chunk, nch))
+    assert rows.shape == (6, fmp.num_points)
+    np.testing.assert_allclose(rows[0], Qall[:, 0, 0], rtol=1e-10)
+    np.testing.assert_allclose(rows[1], Qall[:, 0, 1], rtol=1e-9,
+                               atol=1e-14)
+    np.testing.assert_allclose(rows[5], Qall[:, 2, 2], rtol=1e-10)
+    # split across two group dispatches
+    half = nch // 2
+    r1 = np.asarray(cov_direct.point_cov_group(
+        fmp, h2, hi, hg, Qred, G2, jnp.int32(0), chunk, half))
+    r2 = np.asarray(cov_direct.point_cov_group(
+        fmp, h2, hi, hg, Qred, G2, jnp.int32(half), chunk, nch - half))
+    np.testing.assert_allclose(np.concatenate([r1, r2], axis=1), rows,
+                               rtol=1e-12)
