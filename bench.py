@@ -442,15 +442,22 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
             # correction loop is a runtime OOM at 1M (measured); drop every
             # big reference the moment its consumer has it — Acc's donation
             # into apply_ cannot alias the [u, u] output (shape mismatch),
-            # so only the refcount frees its 3.6 GB
+            # so only the refcount frees its 3.6 GB.  block_until_ready
+            # BETWEEN stages: async dispatch otherwise lets later stages'
+            # buffers allocate while earlier outputs are still in flight —
+            # the un-serialized pass RESOURCE_EXHAUSTs at 1M (measured)
+            # while the same stages run back-to-back fit comfortably
             h, br, wr = stage_rows_(cb_vals, st)
             Acc, Acg = corr_all(h, br, wr)
+            jax.block_until_ready(Acc)
             del h, br, wr
             S = apply_(stage_S0_(cb_vals, st), Acc, Acg)
             del Acc, Acg
             Qred = inv_(S)
+            jax.block_until_ready(Qred)
             del S
             rows6 = recover_all(st, Qred)
+            jax.block_until_ready(rows6)
             del Qred
             return rows6                                # [6, P] sym rows
 
