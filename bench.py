@@ -775,6 +775,18 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         dt_p /= K_CHAIN
         out["matvec_pallas_gflops"] = round(flops / dt_p / 1e9, 1)
         out["matvec_pallas_gbps"] = round(fbytes / dt_p / 1e9, 1)
+
+        # pure-read floor at the same access pattern: separates memory-
+        # bound from compute-bound (r05 measured 818 GB/s = 100% SoL, so
+        # the matvec's remaining gap is in-kernel compute)
+        try:
+            floor_ = jax.jit(
+                lambda k: kernels.make_read_floor(pp)() + k * 0.0)
+            dt_f, _ = _time(floor_, 8, jnp.float32(0),
+                            uniq=lambda k, a: (jnp.float32(k),))
+            out["matvec_read_floor_gbps"] = round(fbytes / dt_f / 1e9, 1)
+        except Exception as exc:
+            out["matvec_read_floor_error"] = str(exc)[:120]
     out["matvec_hbm_sol_fraction"] = round(
         fbytes / min(dt_x, dt_p) / 1e9 / V5E_HBM_GBPS, 3)
     print(f"matvec: xla {out.get('matvec_xla_gbps', '-')} GB/s, "

@@ -63,7 +63,11 @@ def main():
         fv = bigargs.merge(fmv, big_names, big_)
         b = engine.linearize(fv, st, spec, jnp.asarray(1e-6, dtype))
         pp = kernels.pack_fm(b, fv, lean_only=True)
-        return pp.packed, pp.obs_img, pp.hppinv, b.extra_c, b.extra_g
+        # extra_c is produced by finish_reduction, not linearize; the
+        # diagonal-extra term is a negligible [M, 6] op — zeros suffice
+        # for kernel timing
+        return (pp.packed, pp.obs_img, pp.hppinv,
+                jnp.zeros((fmv.num_images, 6), dtype), b.extra_g)
 
     t0 = time.time()
     packed, obs_img, hppinv, ec, eg = jax.jit(mk_packed)(big_vals, state)
@@ -120,8 +124,8 @@ def main():
         timed(name, lambda xc, xg, kw=kw: kernels.make_matvec(
             pp, ec, eg, **kw)(xc, xg))
 
-    # bsteps variants
-    for bs in (2, 4, 8):
+    # bsteps variants (any divisor of the block count <= 8)
+    for bs in (2, 3, 4, 6, 8):
         if (fmv.num_points // pb) % bs:
             continue
         timed(f"bsteps{bs}_p3", lambda xc, xg, bs=bs: kernels.make_matvec(
