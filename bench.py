@@ -149,8 +149,11 @@ def build_problem(num_points, num_images, views_per_point, dtype, seed=0,
 
     if pad128:
         # host-side engine.pad_problem: zero-weight dummy points copying
-        # point 0 (finite geometry, nulled contributions), marked fixed
-        P_pad = -(-num_points // 128) * 128
+        # point 0 (finite geometry, nulled contributions), marked fixed.
+        # 512-multiples (not just the Mosaic-minimum 128): an EVEN
+        # view-major block count enables the bsteps=2 matvec grid
+        # (51% HBM SoL vs 43% at bsteps=1 — r05 exp_mv5)
+        P_pad = -(-num_points // 512) * 512
         extra = P_pad - num_points
         if extra:
             V = views_per_point
@@ -767,7 +770,14 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
         def mv_pal_f(packed, obs_img, hppinv, ec, eg, c, g):
             pp_ = pp._replace(packed=packed, obs_img=obs_img, hppinv=hppinv)
-            return kernels.make_matvec(pp_, ec, eg)(c, g)
+            # passes=2 + bsteps=2: the production CG configuration
+            # (lm_step's matvec_passes=2, ~2^-16 operator error; bsteps
+            # from the even block count of the 512-padded problem) — r05
+            # exp_mv5: 545 us vs 861 us for the 3-pass bsteps=1 variant
+            return kernels.make_matvec(
+                pp_, ec, eg, passes=2,
+                bsteps=kernels.choose_bsteps(pp_.num_points, pp_.pb, 2))(
+                c, g)
 
         mv_pal_ = jax.jit(_chain_k(mv_pal_f))
         dt_p, _ = _time_chain(mv_pal_, 6, _mv_feed, pp.packed, pp.obs_img,
@@ -777,13 +787,14 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         out["matvec_pallas_gbps"] = round(fbytes / dt_p / 1e9, 1)
 
         # pure-read floor at the same access pattern: separates memory-
-        # bound from compute-bound (r05 measured 818 GB/s = 100% SoL, so
-        # the matvec's remaining gap is in-kernel compute)
+        # bound from compute-bound (r05 measured ~818 GB/s = 100% SoL, so
+        # the matvec's remaining gap is in-kernel compute); executions
+        # CHAINED through xin — identical queued runs get elided by the
+        # relay (a fixed-input run measured an impossible 1428 GB/s)
         try:
-            floor_ = jax.jit(
-                lambda k: kernels.make_read_floor(pp)() + k * 0.0)
-            dt_f, _ = _time(floor_, 8, jnp.float32(0),
-                            uniq=lambda k, a: (jnp.float32(k),))
+            floor_ = jax.jit(kernels.make_read_floor(pp))
+            dt_f, _ = _time_chain(floor_, 8, lambda o, a: (o,),
+                                  jnp.zeros((8, 128), jnp.float32))
             out["matvec_read_floor_gbps"] = round(fbytes / dt_f / 1e9, 1)
         except Exception as exc:
             out["matvec_read_floor_error"] = str(exc)[:120]

@@ -482,11 +482,16 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
 
 def make_read_floor(pp: PackedFM, bsteps: int = 1):
     """Pure-bandwidth floor kernel: stream the lean packed prefix exactly
-    as the matvec's BlockSpec does and emit one [8, 128] running sum — the
-    HBM speed-of-light reference for the matvec's access pattern.
-    Measured r05 at 100k/500img: 818.4 GB/s = 100%% of the v5e HBM SoL at
-    the same grid granularity, proving the matvec is COMPUTE-bound
-    in-kernel, not DMA/grid-bound.  Returns fn() -> [8, 128] f32."""
+    as the matvec's BlockSpec does and fold it into an [8, 128] running
+    sum seeded from ``xin`` — the HBM speed-of-light reference for the
+    matvec's access pattern.  Measured r05 at 100k/500img: ~818 GB/s =
+    100%% of the v5e HBM SoL at the same grid granularity, proving the
+    matvec is COMPUTE-bound in-kernel, not DMA/grid-bound.
+
+    ``xin`` exists to CHAIN executions: the axon relay elides identical
+    queued executions (a fixed-input floor run measured an impossible
+    1428 GB/s); feed each call's output into the next.
+    Returns fn(xin [8, 128]) -> [8, 128] f32."""
     G = pp.g
     fl_pad = _offsets(G)["F_lean_pad"]
     nb = pp.pb * pp.views
@@ -496,7 +501,7 @@ def make_read_floor(pp: PackedFM, bsteps: int = 1):
     packed_lean = pp.packed[:fl_pad]
     bnb = bsteps * nb
 
-    def _floor_kernel(pk_ref, out_ref):
+    def _floor_kernel(xin_ref, pk_ref, out_ref):
         pk = pk_ref[:]
         s = jnp.sum(pk.reshape(fl_pad, bnb // 128, 128), axis=1)
         contrib = jnp.zeros((8, 128), jnp.float32)
@@ -505,23 +510,27 @@ def make_read_floor(pp: PackedFM, bsteps: int = 1):
 
         @pl.when(pl.program_id(0) == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            out_ref[:] = 1e-30 * xin_ref[:]
 
         out_ref[:] += contrib
 
     call = pl.pallas_call(
         _floor_kernel,
         grid=(grid_n // bsteps,),
-        in_specs=[pl.BlockSpec((fl_pad, bnb), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fl_pad, bnb), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
     )
 
-    def run():
+    def run(xin):
         with jax.enable_x64(False):
-            return call(packed_lean)
+            return call(xin.astype(jnp.float32), packed_lean)
 
     return run
 

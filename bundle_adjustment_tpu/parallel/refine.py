@@ -211,8 +211,9 @@ class Refiner:
             (b, ext, rc, rg, Minv))
         if self.use_pallas:
             # reuse the rows packed once by prepare_pallas above
-            base = kernels.make_matvec(pp, b.extra_c, b.extra_g,
-                                       passes=self.matvec_passes)
+            base = kernels.make_matvec(
+                pp, b.extra_c, b.extra_g, passes=self.matvec_passes,
+                bsteps=kernels.choose_bsteps(p32.num_points, pp.pb, 2))
         else:
             def base(c, g):
                 return engine.schur_matvec(p32, b, c, g)
