@@ -543,6 +543,40 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     N = int(problem.obs_point.shape[0])
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    # health sentinels, recorded up front so every record is self-
+    # identifying (r05: a congested relay window turned the matvec
+    # measurement from 416 GB/s into 12.6 — the chip itself was fine):
+    #   chip_matmul_tflops  in-jit 16-matmul chain (pure compute)
+    #   relay_latency_ms    per-dispatch submission latency (6 trivial
+    #                       dependent dispatches)
+    try:
+        xh = jnp.ones((2048, 2048), jnp.float32)
+
+        def _health(a, k):
+            def body(i, o):
+                o = o @ a
+                return o * (1.0 / (jnp.sqrt(jnp.abs(o[0, 0]) + 1.0)))
+            return jax.lax.fori_loop(0, 16, body, a * (1.0 + 1e-9 * k))
+
+        fh = jax.jit(_health)
+        _fetch(fh(xh, jnp.float32(0)))
+        th0 = time.time()
+        _fetch(fh(xh, jnp.float32(1)))
+        dth = time.time() - th0
+        out["chip_matmul_tflops"] = round(16 * 2 * 2048 ** 3 / dth / 1e12, 1)
+
+        gh = jax.jit(lambda x: x + 1.0)
+        zh = gh(jnp.float32(0))
+        _fetch(zh)
+        th0 = time.time()
+        for _ in range(6):
+            zh = gh(zh)
+        _fetch(zh)
+        out["relay_latency_ms"] = round((time.time() - th0) / 6 * 1e3, 1)
+        print(f"health: {out['chip_matmul_tflops']} TFLOP/s, relay "
+              f"{out['relay_latency_ms']} ms/dispatch", file=sys.stderr)
+    except Exception as exc:
+        out["chip_health_error"] = str(exc)[:160]
     # the Pallas kernels consume the view-major blocked lane layout; the
     # point-major fmp stays for the XLA matvec timing and the cov phase
     fmv = engine.to_view_major(
@@ -727,14 +761,18 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     jax.block_until_ready(b)
     compiles["prepare_xla_compile_s"] = round(time.time() - t0, 2)
 
-    # K matvecs chained INSIDE one jitted program (as the CG loop runs
-    # them): measures the in-program rate without per-dispatch overhead
-    K_CHAIN = 8
+    # Matvecs chained INSIDE one jitted program (as the CG loop runs
+    # them).  Rate = difference of TWO chain lengths at the SAME call
+    # count: the relay's per-dispatch submission latency varies 25-600 ms
+    # (r05 observed a congested window turn 416 GB/s into 12.6), and a
+    # per-call latency term cancels only between runs with equal call
+    # counts — (T_k2 - T_k1) / (reps * (k2 - k1)) is latency-proof.
+    K1_CHAIN, K2_CHAIN = 4, 36
 
-    def _chain_k(mv):
+    def _chain_k(mv, K):
         def f(*a):
             c, g = a[-2], a[-1]
-            for _ in range(K_CHAIN):
+            for _ in range(K):
                 oc, og = mv(*a[:-2], c, g)
                 sc = 1.0 / (jnp.sqrt(jnp.sum(oc * oc) + jnp.sum(og * og))
                             + 1e-30)
@@ -745,6 +783,24 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     def _mv_feed(o, a):
         return (*a[:-2], o[0], o[1])
 
+    def _mv_rate(mv_f, *args0, reps=5):
+        f1 = jax.jit(_chain_k(mv_f, K1_CHAIN))
+        f2 = jax.jit(_chain_k(mv_f, K2_CHAIN))
+
+        def run(fn, a):
+            o = fn(*a)
+            _fetch(o)  # warm / sync
+            t0 = time.time()
+            for _ in range(reps):
+                o = fn(*a)
+                a = _mv_feed(o, a)
+            _fetch(o)
+            return time.time() - t0
+
+        t1 = run(f1, args0)
+        t2 = run(f2, args0)
+        return max(t2 - t1, 1e-9) / (reps * (K2_CHAIN - K1_CHAIN))
+
     fn_, fb_ = bigargs.split_big(fmv)
     if full:
         bn_, bb_ = bigargs.split_big(b)
@@ -754,9 +810,7 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
                 bigargs.merge(fmv, fn_, fbig), bigargs.merge(b, bn_, bbig),
                 c, g)
 
-        mv_xla_ = jax.jit(_chain_k(mv_xla_f))
-        dt_x, _ = _time_chain(mv_xla_, 6, _mv_feed, bb_, fb_, rc, rg)
-        dt_x /= K_CHAIN
+        dt_x = _mv_rate(mv_xla_f, bb_, fb_, rc, rg)
         out["matvec_xla_gflops"] = round(flops / dt_x / 1e9, 1)
         out["matvec_xla_gbps"] = round(fbytes / dt_x / 1e9, 1)
     else:
@@ -779,22 +833,42 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
                 bsteps=kernels.choose_bsteps(pp_.num_points, pp_.pb, 2))(
                 c, g)
 
-        mv_pal_ = jax.jit(_chain_k(mv_pal_f))
-        dt_p, _ = _time_chain(mv_pal_, 6, _mv_feed, pp.packed, pp.obs_img,
-                              pp.hppinv, b.extra_c, b.extra_g, rc, rg)
-        dt_p /= K_CHAIN
+        dt_p = _mv_rate(mv_pal_f, pp.packed, pp.obs_img,
+                        pp.hppinv, b.extra_c, b.extra_g, rc, rg)
         out["matvec_pallas_gflops"] = round(flops / dt_p / 1e9, 1)
         out["matvec_pallas_gbps"] = round(fbytes / dt_p / 1e9, 1)
 
         # pure-read floor at the same access pattern: separates memory-
         # bound from compute-bound (r05 measured ~818 GB/s = 100% SoL, so
-        # the matvec's remaining gap is in-kernel compute); executions
-        # CHAINED through xin — identical queued runs get elided by the
-        # relay (a fixed-input run measured an impossible 1428 GB/s)
+        # the matvec's remaining gap is in-kernel compute); the same
+        # two-chain-length trick, with the pallas call chained through
+        # xin INSIDE one program
         try:
-            floor_ = jax.jit(kernels.make_read_floor(pp))
-            dt_f, _ = _time_chain(floor_, 8, lambda o, a: (o,),
-                                  jnp.zeros((8, 128), jnp.float32))
+            fl_run = kernels.make_read_floor(pp)
+
+            def floor_chain(K):
+                def f(x):
+                    def body(i, xx):
+                        return fl_run(xx) * (1.0 + 1e-30 * i)
+                    return jax.lax.fori_loop(0, K, body, x)
+                return jax.jit(f)
+
+            f1 = floor_chain(K1_CHAIN)
+            f2 = floor_chain(K2_CHAIN)
+
+            def frun(fn, x, reps=5):
+                o = fn(x)
+                _fetch(o)
+                t0 = time.time()
+                for _ in range(reps):
+                    o = fn(o)
+                _fetch(o)
+                return time.time() - t0
+
+            x0 = jnp.zeros((8, 128), jnp.float32)
+            tf1 = frun(f1, x0)
+            tf2 = frun(f2, x0)
+            dt_f = max(tf2 - tf1, 1e-9) / (5 * (K2_CHAIN - K1_CHAIN))
             out["matvec_read_floor_gbps"] = round(fbytes / dt_f / 1e9, 1)
         except Exception as exc:
             out["matvec_read_floor_error"] = str(exc)[:120]
@@ -811,8 +885,13 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     if not full:
         return out
 
-    out = _cov_phase(out, compiles, fmp, state, spec, dtype, num_images,
-                     G, N, emit)
+    try:
+        out = _cov_phase(out, compiles, fmp, state, spec, dtype, num_images,
+                         G, N, emit)
+    except Exception as exc:  # record, keep the remaining phases alive
+        out["cov_error"] = str(exc)[:300]
+        print(f"covariance phase FAILED: {out['cov_error']}",
+              file=sys.stderr)
 
     # ---- (e) TP distributed Cholesky vs XLA single-device ---------------
     try:
