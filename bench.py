@@ -413,10 +413,11 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
         stage_qrows_ = jax.jit(stage_qrows)
         chunkq = cov_direct._choose_chunk(fmp.num_points, 512)
         nchq = fmp.num_points // chunkq
-        groupq = max(1, nchq // 601) if nchq % 601 == 0 else 1
-        while nchq % groupq:
-            groupq -= 1
-        ngroups_q = nchq // groupq
+        # fixed group size; overflow chunks clamp their ids (sliced off
+        # below) — r05: a prime chunk count forced 1954 single-chunk
+        # dispatches whose ~120 ms per-dispatch overhead cost 233 s
+        groupq = min(64, nchq)
+        ngroups_q = -(-nchq // groupq)
 
         def qrows_step(h2, hi, hg, Qred, i0):
             return cov_direct.point_cov_group(
@@ -430,7 +431,8 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
                                  jnp.int32(gi * groupq))
                      for gi in range(ngroups_q)]
             del h2, hi, hg
-            return jnp.concatenate(parts, axis=1)       # [6, P]
+            return jnp.concatenate(
+                parts, axis=1)[:, :fmp.num_points]      # [6, P]
 
         def corr_all(h, br, wr):
             Acc = jnp.zeros((K6, K6), dtype)

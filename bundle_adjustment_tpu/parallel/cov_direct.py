@@ -324,10 +324,13 @@ def corrections_group(p: engine.FMProblem, hpc2, brow2, W_rows, G2: int,
         dn = (((1,), (1,)), ((0,), (0,)))
 
         def panel(rows2):
-            if dt == jnp.float64:
-                # CPU parity path (f64 is CPU-only by convention): the
-                # scatter fill is exact and the TPU layout pathology
-                # below does not apply
+            if dt == jnp.float64 or M <= 1024:
+                # scatter fill: exact, and fine while the [c, 3, M, 6]
+                # destination stays small — the 20x tile-pad pathology
+                # appears at M = 5000 (11.5 GB), while at M = 500 the
+                # one-hot batched fill's tiny [18, 3V] x [3V, M] matmuls
+                # run at ~2% MXU utilisation (r05: the 100k fused
+                # covariance regressed 0.25 s -> 9.9 s on the fill)
                 hpc = jax.lax.dynamic_slice(
                     rows2, _i32c(0, o0), (18, cV)).T.reshape(cV, 3, 6)
                 pl = jnp.arange(cV, dtype=jnp.int32) // jnp.int32(V)
@@ -684,7 +687,10 @@ def point_cov_group(p: engine.FMProblem, hpc2, hinv_rows, hpg_rows, Qred,
     Qgg = Qred[K:, K:]
 
     def body(j, acc):
-        ids = (i0 + j) * chunk + jnp.arange(chunk)
+        # ids past P are clamped (their output columns are duplicates the
+        # caller slices off) — group sizes need not divide the chunk count
+        ids = jnp.minimum((i0 + j) * chunk + jnp.arange(chunk),
+                          p.num_points - 1)
         rows = _pcd_chunk(p, hpc2, hinv_rows, hpg_rows, Qred, Qcg, Qgg,
                           G2, ids)
         return jax.lax.dynamic_update_slice(acc, rows,
