@@ -638,12 +638,17 @@ def recovery_rows(p: engine.FMProblem, b: engine.FMBlocks):
 
 def _pcd_chunk(p, hpc2, hinv_rows, hpg_rows, Qred, Qcg, Qgg, G2, ids):
     """Core of the dense point-block recovery for one id chunk; returns
-    the 6 sym rows [6, c] (00,01,02,11,12,22)."""
+    the 6 sym rows [6, c] (00,01,02,11,12,22).
+
+    All camera-coupling tensors are grouped as [c, V6(=6V), ...] — the
+    [c, V, V, 6, 6] form tile-pads its (6, 6) minors to (8, 128) = 28x
+    on TPU, while (V6, V6) minors pad ~1.8x."""
     V = p.views
     img = p.obs_image.astype(jnp.int32).reshape(p.num_points, V)
     i6 = jnp.arange(6)
     iV = jnp.arange(V)
     c = ids.shape[0]
+    V6 = 6 * V
     h = hinv_rows[:, ids]                             # [6, c]
     hin = jnp.stack([
         jnp.stack([h[0], h[1], h[2]], axis=1),
@@ -653,18 +658,19 @@ def _pcd_chunk(p, hpc2, hinv_rows, hpg_rows, Qred, Qcg, Qgg, G2, ids):
     obs = (ids[:, None] * V + iV[None, :]).reshape(-1)
     hpc_v = hpc2[:, obs].T.reshape(c, V, 3, 6)
     hpg_c = hpg_rows[:, ids].reshape(3, G2, c).transpose(2, 0, 1)
-    # E_v = (Hpc_v)^T Hppinv : the camera-row blocks of C_p  [c, V, 6, 3]
-    E = jnp.einsum("cvae,cab->cveb", hpc_v, hin, precision=_PREC)
+    # E rows (v, e) of C_p's camera block: [c, V6, 3]
+    E2 = jnp.einsum("cvae,cab->cveb", hpc_v, hin,
+                    precision=_PREC).reshape(c, V6, 3)
     Cg = jnp.einsum("cag,cab->cgb", hpg_c, hin, precision=_PREC)
     im = img[ids]                                     # [c, V]
-    # gather the [c, V, V, 6, 6] camera blocks straight from the 2D
-    # Qred (a [M, 6, M, 6] reshape tile-pads to 76.8 GB at M = 5000)
-    I = (6 * im)[:, :, None, None, None] + i6[None, None, None, :, None]
-    J = (6 * im)[:, None, :, None, None] + i6[None, None, None, None, :]
-    Qb = Qred[I, J]                                   # [c, V, V, 6, 6]
-    corr = jnp.einsum("cveb,cvwef,cwfd->cbd", E, Qb, E, precision=_PREC)
-    Qg_v = Qcg[im]                                    # [c, V, 6, G]
-    cross = jnp.einsum("cveb,cveg,cgd->cbd", E, Qg_v, Cg, precision=_PREC)
+    # gather the [c, V6, V6] camera blocks straight from the 2D Qred
+    # (a [M, 6, M, 6] reshape tile-pads to 76.8 GB at M = 5000)
+    I2 = ((6 * im)[:, :, None] + i6[None, None, :]).reshape(c, V6)
+    Qb2 = Qred[I2[:, :, None], I2[:, None, :]]        # [c, V6, V6]
+    t = jnp.einsum("cub,cuw->cbw", E2, Qb2, precision=_PREC)
+    corr = jnp.einsum("cbw,cwd->cbd", t, E2, precision=_PREC)
+    Qg_v = Qcg[im].reshape(c, V6, G2)
+    cross = jnp.einsum("cub,cug,cgd->cbd", E2, Qg_v, Cg, precision=_PREC)
     corr = corr + cross + cross.transpose(0, 2, 1)
     corr = corr + jnp.einsum("cgb,gh,chd->cbd", Cg, Qgg, Cg,
                              precision=_PREC)
