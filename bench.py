@@ -411,7 +411,8 @@ def _cov_phase(out, compiles, fmp, state, spec, dtype, num_images, G, N,
             return cov_direct.recovery_rows(fp, bl)
 
         stage_qrows_ = jax.jit(stage_qrows)
-        chunkq = cov_direct._choose_chunk(fmp.num_points, 512)
+        chunkq = cov_direct.recovery_chunk(
+            fmp.num_points, fmp.views, 6 * num_images + G)
         nchq = fmp.num_points // chunkq
         # fixed group size; overflow chunks clamp their ids (sliced off
         # below) — r05: a prime chunk count forced 1954 single-chunk

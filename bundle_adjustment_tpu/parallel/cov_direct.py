@@ -605,7 +605,7 @@ def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
     point_ids = jnp.asarray(point_ids)
     k = point_ids.shape[0]
     if chunk is None:
-        chunk = _choose_chunk(k, 2048)
+        chunk = recovery_chunk(k, p.views, Qred.shape[0])
 
     def one_chunk(ids):
         rows = _pcd_chunk(p, hpc2, hinv_rows, hpg_rows, Qred, Qcg, Qgg,
@@ -640,15 +640,20 @@ def _pcd_chunk(p, hpc2, hinv_rows, hpg_rows, Qred, Qcg, Qgg, G2, ids):
     """Core of the dense point-block recovery for one id chunk; returns
     the 6 sym rows [6, c] (00,01,02,11,12,22).
 
-    All camera-coupling tensors are grouped as [c, V6(=6V), ...] — the
-    [c, V, V, 6, 6] form tile-pads its (6, 6) minors to (8, 128) = 28x
-    on TPU, while (V6, V6) minors pad ~1.8x."""
+    Gather strategy (r05, measured): the [c, V6, V6] element gather from
+    Qred costs c*V6^2 random picks at ~1e8/s (127 ms per 2048-point chunk
+    = 6.2 s at 100k); instead ROW-gather p's V6 coupled rows (the fast
+    embedding-lookup pattern), contract with E2 FIRST (Y = E2^T R — the
+    row panel is still u wide), and only then pick the c*3*V6 needed
+    columns — 24x fewer element gathers, and the global cross term falls
+    out of Y's global columns for free."""
     V = p.views
     img = p.obs_image.astype(jnp.int32).reshape(p.num_points, V)
     i6 = jnp.arange(6)
     iV = jnp.arange(V)
     c = ids.shape[0]
     V6 = 6 * V
+    K = Qred.shape[0] - G2
     h = hinv_rows[:, ids]                             # [6, c]
     hin = jnp.stack([
         jnp.stack([h[0], h[1], h[2]], axis=1),
@@ -663,20 +668,29 @@ def _pcd_chunk(p, hpc2, hinv_rows, hpg_rows, Qred, Qcg, Qgg, G2, ids):
                     precision=_PREC).reshape(c, V6, 3)
     Cg = jnp.einsum("cag,cab->cgb", hpg_c, hin, precision=_PREC)
     im = img[ids]                                     # [c, V]
-    # gather the [c, V6, V6] camera blocks straight from the 2D Qred
-    # (a [M, 6, M, 6] reshape tile-pads to 76.8 GB at M = 5000)
     I2 = ((6 * im)[:, :, None] + i6[None, None, :]).reshape(c, V6)
-    Qb2 = Qred[I2[:, :, None], I2[:, None, :]]        # [c, V6, V6]
-    t = jnp.einsum("cub,cuw->cbw", E2, Qb2, precision=_PREC)
+    R = Qred[I2.reshape(-1)].reshape(c, V6, -1)       # [c, V6, u] rows
+    Y = jnp.einsum("cub,cux->cbx", E2, R, precision=_PREC)  # [c, 3, u]
+    # camera part: pick p's own V6 columns of Y
+    t = jnp.take_along_axis(
+        Y[:, :, :K], jnp.broadcast_to(I2[:, None, :], (c, 3, V6)), axis=2)
     corr = jnp.einsum("cbw,cwd->cbd", t, E2, precision=_PREC)
-    Qg_v = Qcg[im].reshape(c, V6, G2)
-    cross = jnp.einsum("cub,cug,cgd->cbd", E2, Qg_v, Cg, precision=_PREC)
+    # global cross term straight from Y's global columns
+    cross = jnp.einsum("cbg,cgd->cbd", Y[:, :, K:], Cg, precision=_PREC)
     corr = corr + cross + cross.transpose(0, 2, 1)
     corr = corr + jnp.einsum("cgb,gh,chd->cbd", Cg, Qgg, Cg,
                              precision=_PREC)
     Qblk = hin + corr
     return jnp.stack([Qblk[:, 0, 0], Qblk[:, 0, 1], Qblk[:, 0, 2],
                       Qblk[:, 1, 1], Qblk[:, 1, 2], Qblk[:, 2, 2]])
+
+
+def recovery_chunk(k: int, V: int, u: int, target_bytes: float = 4.0e8,
+                   cap: int = 2048) -> int:
+    """Recovery chunk bounded by the [c, 6V, u] row panel (the dominant
+    per-chunk buffer of `_pcd_chunk`)."""
+    c = max(16, int(target_bytes / (6 * V * u * 4)))
+    return _choose_chunk(k, min(cap, c))
 
 
 def point_cov_group(p: engine.FMProblem, hpc2, hinv_rows, hpg_rows, Qred,
