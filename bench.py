@@ -744,26 +744,6 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # at every scale (REDUCED-mode recovery is a headline capability,
     # BASELINE config 5).
     flops, fbytes = matvec_cost(N, G, views)
-    if not full:
-        out["compile_s"] = compiles
-        # free the solver-phase device state before the covariance phase:
-        # the 1M staged-cov peak (~15 GB incl. the XLA cholesky internals
-        # at u = 30k) needs the whole chip — the view-major row copies and
-        # the solver executables' embedded constants would push it over
-        import gc
-
-        del refiner, rstep, lm0_, lm_, lm, fixed, _run_fixed
-        del big_vals, fmv, r, r2, st, s, state0, s_ref
-        gc.collect()
-        return _cov_phase(out, compiles, fmp, state, spec, dtype,
-                          num_images, G, N, emit)
-    prep_ = jax.jit(lambda st: engine.prepare(
-        fmv, st, spec, jnp.asarray(1e-6, dtype), couple_global=True))
-    t0 = time.time()
-    b, rc, rg, Minv = prep_(state)
-    jax.block_until_ready(b)
-    compiles["prepare_xla_compile_s"] = round(time.time() - t0, 2)
-
     # Matvecs chained INSIDE one jitted program (as the CG loop runs
     # them).  Rate = difference of TWO chain lengths at the SAME call
     # count: the relay's per-dispatch submission latency varies 25-600 ms
@@ -803,6 +783,83 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         t1 = run(f1, args0)
         t2 = run(f2, args0)
         return max(t2 - t1, 1e-9) / (reps * (K2_CHAIN - K1_CHAIN))
+
+    if not full:
+        # scale-config matvec record (north-star SoL fraction at 1M): a
+        # LEAN-ONLY pack (no PJ tail — the full pack next to the LM
+        # buffers was the r03/r04 OOM) + random probe vectors; the
+        # linearise rows live only inside the pack program
+        try:
+            if not on_tpu:
+                raise RuntimeError("pallas matvec needs the TPU")
+            from bundle_adjustment_tpu.parallel import kernels as _k
+
+            pbv = _k.choose_pb(fmv.num_points, fmv.views)
+
+            def mk_packed(big_, st):
+                fv = bigargs.merge(fmv, big_names, big_)
+                bl = engine.linearize(fv, st, spec, jnp.asarray(1e-6, dtype))
+                ppk = _k.pack_fm(bl, fv, lean_only=True)
+                return ppk.packed, ppk.obs_img, ppk.hppinv, bl.extra_g
+
+            packed, obs_img, hppinv, eg_ = jax.jit(mk_packed)(
+                big_vals, state)
+            jax.block_until_ready(packed)
+            m_pad = max(128, -(-num_images // 128) * 128)
+            ppl = kernels.PackedFM(
+                packed=packed, obs_img=obs_img, hppinv=hppinv,
+                num_points=fmv.num_points, views=fmv.views,
+                num_images=num_images, m_pad=m_pad, g=G,
+                f_pad=((21 + 2 * G + 7) // 8) * 8, pb=pbv,
+                h=kernels.choose_h(m_pad, row_cost=2.0))
+            rngm = np.random.default_rng(3)
+            xc0 = jnp.asarray(rngm.normal(0, 1, (num_images, 6)), dtype)
+            xg0 = jnp.asarray(rngm.normal(0, 1, (G,)), dtype)
+            ec0 = jnp.zeros((num_images, 6), dtype)
+
+            def mv_pal_f(pk, oi, hp, eg, c, g):
+                pp_ = ppl._replace(packed=pk, obs_img=oi, hppinv=hp)
+                return kernels.make_matvec(
+                    pp_, ec0, eg, passes=2,
+                    bsteps=kernels.choose_bsteps(pp_.num_points, pp_.pb,
+                                                 2))(c, g)
+
+            dt_p5 = _mv_rate(mv_pal_f, packed, obs_img, hppinv, eg_,
+                             xc0, xg0)
+            out["matvec_pallas_gflops"] = round(flops / dt_p5 / 1e9, 1)
+            out["matvec_pallas_gbps"] = round(fbytes / dt_p5 / 1e9, 1)
+            out["matvec_hbm_sol_fraction"] = round(
+                fbytes / dt_p5 / 1e9 / V5E_HBM_GBPS, 3)
+            print(f"matvec (scale config): "
+                  f"{out['matvec_pallas_gbps']} GB/s "
+                  f"({out['matvec_hbm_sol_fraction']:.0%} SoL)",
+                  file=sys.stderr)
+            del packed, obs_img, hppinv, eg_, xc0, xg0
+        except Exception as exc:
+            out["matvec_error"] = str(exc)[:200]
+            print(f"scale matvec phase failed: {out['matvec_error']}",
+                  file=sys.stderr)
+        if emit is not None:
+            emit(dict(out))
+
+        out["compile_s"] = compiles
+        # free the solver-phase device state before the covariance phase:
+        # the 1M staged-cov peak (~15 GB incl. the XLA cholesky internals
+        # at u = 30k) needs the whole chip — the view-major row copies and
+        # the solver executables' embedded constants would push it over
+        import gc
+
+        del refiner, rstep, lm0_, lm_, lm, fixed, _run_fixed
+        del big_vals, fmv, r, r2, st, s, state0, s_ref
+        gc.collect()
+        return _cov_phase(out, compiles, fmp, state, spec, dtype,
+                          num_images, G, N, emit)
+    prep_ = jax.jit(lambda st: engine.prepare(
+        fmv, st, spec, jnp.asarray(1e-6, dtype), couple_global=True))
+    t0 = time.time()
+    b, rc, rg, Minv = prep_(state)
+    jax.block_until_ready(b)
+    compiles["prepare_xla_compile_s"] = round(time.time() - t0, 2)
 
     fn_, fb_ = bigargs.split_big(fmv)
     if full:
