@@ -107,6 +107,14 @@ def _hinv3(b: engine.FMBlocks):
     ], axis=1)
 
 
+#: image count above which the per-image reduction falls back to chunked
+#: scatter-adds (the one-hot operand chunks get thin and the VPU compare
+#: cost N*M grows; below it the one-hot MXU reduction is ~20x faster on
+#: TPU than the element scatter — r05 exp_cov100k: the scatter-add base
+#: stage dominated the 100k fused covariance)
+ONEHOT_M_MAX = 8192
+
+
 def assemble_reduced_base(p: engine.FMProblem, b: engine.FMBlocks,
                           damping=0.0):
     """Stage 1 of the dense reduced system: per-image Hcc/Hcg blocks and
@@ -120,16 +128,27 @@ def assemble_reduced_base(p: engine.FMProblem, b: engine.FMBlocks,
     K = 6 * M
     dt = b.Jp[0].dtype
 
-    # per-image full blocks: chunked scatter-add over observations — the
-    # [Nip, F] permutation-gather of _image_sum_stack decomposes into
-    # per-column 128x-tile-padded copies when the rows come from jit
-    # arguments (bigargs mode; measured 20 x 586 MB HLO temps = OOM), and
-    # the chunked form never materialises [N, F] at all
+    # per-image full blocks, chunked over observations.  The [Nip, F]
+    # permutation-gather of _image_sum_stack decomposes into per-column
+    # 128x-tile-padded copies when the rows come from jit arguments
+    # (bigargs mode; measured 20 x 586 MB HLO temps = OOM).  Dispatch:
+    #   M <= ONEHOT_M_MAX  one-hot MXU reduction O^T @ feat (exact: the
+    #                      0/1 one-hot is exact in bf16 and the f32 value
+    #                      operand rides a 3-way bf16 split; f64 keeps a
+    #                      plain HIGHEST dot) — the chip fast path
+    #   else               per-chunk scatter-add (the element scatter is
+    #                      slow but M-independent)
     iu = np.triu_indices(6)
     F99 = 21 + 6 * G2
     img = p.obs_image.astype(jnp.int32)
     N = img.shape[0]
-    cV0 = _choose_chunk(N, 65536)
+    use_onehot = M <= ONEHOT_M_MAX
+    if use_onehot:
+        # bound the [3 cV0, M] one-hot operand to ~200 MB
+        lim = max(512, int(2.0e8 / (6 * M)))
+        cV0 = _choose_chunk(N, min(65536, lim))
+    else:
+        cV0 = _choose_chunk(N, 65536)
 
     def red_body(i, acc):
         o0 = i * cV0
@@ -146,7 +165,23 @@ def assemble_reduced_base(p: engine.FMProblem, b: engine.FMBlocks,
                  for e in range(6) for g in range(G2)]
         feat = jnp.stack(rows, axis=1)                    # [cV0, F99]
         im = jax.lax.dynamic_slice(img, (o0,), (cV0,))
-        return acc.at[im].add(feat)
+        if not use_onehot:
+            return acc.at[im].add(feat)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (cV0, M), 1)
+        dn0 = (((0,), (0,)), ((), ()))
+        if dt == jnp.float32:
+            bf = jnp.bfloat16
+            O = (im[:, None] == iota_m).astype(bf)
+            f1 = feat.astype(bf)
+            r1 = feat - f1.astype(dt)
+            f2 = r1.astype(bf)
+            f3 = (r1 - f2.astype(dt)).astype(bf)
+            Ocat = jnp.concatenate([O, O, O], axis=0)
+            Fcat = jnp.concatenate([f1, f2, f3], axis=0)
+            return acc + jax.lax.dot_general(
+                Ocat, Fcat, dn0, preferred_element_type=dt)
+        O = (im[:, None] == iota_m).astype(dt)
+        return acc + jax.lax.dot_general(O, feat, dn0, precision=_PREC)
 
     red = jax.lax.fori_loop(0, N // cV0, red_body,
                             jnp.zeros((M, F99), dt))
@@ -210,6 +245,94 @@ def _mm_split3(A, B):
     A3 = jnp.concatenate([a1, a1, a2], axis=1)
     B3 = jnp.concatenate([b1, b2, b1], axis=0)
     return jnp.dot(A3, B3, preferred_element_type=f32)
+
+
+def _mm_split3_c0(A, B):
+    """`_mm_split3` contracting axis 0 of both operands (A [k, m], B [k, n]
+    -> [m, n]): the 3 bf16 passes ride one dot over a concatenated
+    contraction axis 0."""
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    a1 = A.astype(bf)
+    a2 = (A - a1.astype(f32)).astype(bf)
+    b1 = B.astype(bf)
+    b2 = (B - b1.astype(f32)).astype(bf)
+    A3 = jnp.concatenate([a1, a1, a2], axis=0)
+    B3 = jnp.concatenate([b1, b2, b1], axis=0)
+    return jax.lax.dot_general(A3, B3, (((0,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+
+
+def assemble_corrections_outer(p: engine.FMProblem, b: engine.FMBlocks,
+                               chunk: int | None = None,
+                               split_dots: bool | None = None):
+    """Camera-camera / camera-global Schur corrections via per-view
+    OUTER-PRODUCT panel fills + one stacked MXU dot per chunk.
+
+    Replaces `assemble_corrections_panel`'s per-chunk scatter fill (whose
+    c*V*18-element scatters dominated the 100k fused covariance — r05
+    exp_cov100k: 1.53 s assemble) with V broadcasted outer products
+    (VPU, 18*M*c elements per view) building the panels in E-MAJOR row
+    order [3, c, 6, M] -> [(a c), (e M)], so the fill needs no per-element
+    scatters and no [., 3, M, 6] tile-padded destination; the accumulated
+    (Acc, Acg) are permuted to the camera-major (6m+e) layout ONCE at the
+    end.  Same O(P * 3 * K^2) dot flops as the panel form.
+
+    ``split_dots``: None dispatches on dtype (f32 -> `_mm_split3_c0`,
+    ~2^-16 relative; f64 -> exact HIGHEST dot)."""
+    b = engine.materialize_global_rows(p, b)
+    M, G2 = p.num_images, len(b.Jg) // 2
+    V = p.views
+    K = 6 * M
+    dt = b.Jp[0].dtype
+    if split_dots is None:
+        split_dots = dt == jnp.float32
+    if chunk is None:
+        # the Td/Tb slabs are [3, c, 6, M] each (~144*M*c bytes f32)
+        target = max(128, int(3.0e8 / (144 * M)))
+        chunk = _choose_chunk(p.num_points, min(4096, target))
+    hpc2, brow2, W_rows = panel_rows(p, b)
+    img = p.obs_image.astype(jnp.int32)
+    nchunks = p.num_points // chunk
+    cV = chunk * V
+    dn0 = (((0,), (0,)), ((), ()))
+
+    def body(i, carry):
+        Acc, Acg = carry
+        o0 = i * cV
+        im = jax.lax.dynamic_slice(img, _i32c(o0), (cV,)).reshape(chunk, V)
+        hd = jax.lax.dynamic_slice(
+            hpc2, _i32c(0, o0), (18, cV)).reshape(18, chunk, V)
+        hb = jax.lax.dynamic_slice(
+            brow2, _i32c(0, o0), (18, cV)).reshape(18, chunk, V)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (chunk, M), 1)
+        Td = jnp.zeros((3, chunk, 6, M), dt)
+        Tb = jnp.zeros((3, chunk, 6, M), dt)
+        for v in range(V):
+            O_v = (im[:, v:v + 1] == iota_m).astype(dt)       # [c, M]
+            dv = hd[:, :, v].reshape(3, 6, chunk).transpose(0, 2, 1)
+            bv = hb[:, :, v].reshape(3, 6, chunk).transpose(0, 2, 1)
+            Td = Td + dv[:, :, :, None] * O_v[None, :, None, :]
+            Tb = Tb + bv[:, :, :, None] * O_v[None, :, None, :]
+        A = Td.reshape(3 * chunk, K)
+        Bm = Tb.reshape(3 * chunk, K)
+        if split_dots:
+            Acc = Acc + _mm_split3_c0(A, Bm)
+        else:
+            Acc = Acc + jax.lax.dot_general(A, Bm, dn0, precision=_PREC)
+        wc = jax.lax.dynamic_slice(
+            W_rows, _i32c(0, i * chunk), (3 * G2, chunk))
+        wc = wc.reshape(3, G2, chunk).transpose(0, 2, 1).reshape(
+            3 * chunk, G2)
+        Acg = Acg + jax.lax.dot_general(A, wc, dn0, precision=_PREC)
+        return Acc, Acg
+
+    Acc_em, Acg_em = jax.lax.fori_loop(
+        0, nchunks, body, (jnp.zeros((K, K), dt), jnp.zeros((K, G2), dt)))
+    # e-major (e*M + m) -> camera-major (6m + e), once
+    Acc = Acc_em.reshape(6, M, 6, M).transpose(1, 0, 3, 2).reshape(K, K)
+    Acg = Acg_em.reshape(6, M, G2).transpose(1, 0, 2).reshape(K, G2)
+    return Acc, Acg
 
 
 def assemble_corrections_panel(p: engine.FMProblem, b: engine.FMBlocks,
@@ -480,7 +603,7 @@ def assemble_reduced_dense(p: engine.FMProblem, b: engine.FMBlocks,
         K = 6 * p.num_images
         panel = 6.0 * p.num_points * K * K < PANEL_FLOPS_MAX
     if panel:
-        Acc, Acg = assemble_corrections_panel(p, b, chunk=chunk)
+        Acc, Acg = assemble_corrections_outer(p, b, chunk=chunk)
         return apply_corrections(S0, Acc, Acg)
     return assemble_reduced_corrections(p, b, S0, chunk=chunk)
 
@@ -573,15 +696,105 @@ def reduced_inverse(S, panel: int | None = None, block: int = 2048):
     return Q[:, :u]
 
 
+#: reduced-system size above which the dense-panel recovery's
+#: O(2 u^2 3P) MXU flops exceed the row-gather path's read cost — below
+#: it the panel form is gather-free and MXU-bound (r05 exp_cov100k: the
+#: row-gather recovery was 0.83 s of the 2.4 s fused 100k covariance)
+DENSE_RECOVERY_U_MAX = 8192
+
+
+def _emajor_perm(M: int, G2: int) -> np.ndarray:
+    """src indices permuting the camera-major reduced layout (6m+e,
+    globals last) into E-MAJOR (e*M + m, globals last)."""
+    idx = np.arange(6 * M)
+    return np.concatenate([6 * (idx % M) + idx // M,
+                           6 * M + np.arange(G2)])
+
+
+def _pcd_dense_all(p, hpc2, hinv_rows, hpg_rows, Qred, G2: int,
+                   chunk: int):
+    """All-points recovery as dense MXU panels: per chunk, build the
+    coupling panel D [u, 3, c] (e-major camera rows via V outer-product
+    fills — no gathers, no scatters), one fat matmul Y = Qem @ D, and the
+    3x3 blocks fall out of axis-0 reductions sum_u D[:, b, :] Y[:, d, :].
+    O(2 u^2 3P) flops, zero element gathers — vs the row-gather path's
+    P*V6*u-element reads (`_pcd_chunk`), which dominate when u is small
+    enough to make the panels cheap.  Returns the 6 sym rows [6, P]."""
+    V = p.views
+    M = p.num_images
+    K = 6 * M
+    u = Qred.shape[0]
+    P_ = p.num_points
+    dt = Qred.dtype
+    img = p.obs_image.astype(jnp.int32).reshape(P_, V)
+    perm = jnp.asarray(_emajor_perm(M, G2))
+    Qem = Qred[perm][:, perm]
+    split = dt == jnp.float32
+    if split:
+        bf = jnp.bfloat16
+        q1 = Qem.astype(bf)
+        q2 = (Qem - q1.astype(dt)).astype(bf)
+        # loop-invariant split operand: 3 bf16 passes ride one dot
+        Qcat = jnp.concatenate([q1, q1, q2], axis=1)      # [u, 3u]
+    nch = P_ // chunk
+
+    def body(i, acc):
+        c0 = i * chunk
+        h = jax.lax.dynamic_slice(hinv_rows, _i32c(0, c0), (6, chunk))
+        hin = jnp.stack([
+            jnp.stack([h[0], h[1], h[2]], axis=1),
+            jnp.stack([h[1], h[3], h[4]], axis=1),
+            jnp.stack([h[2], h[4], h[5]], axis=1),
+        ], axis=1)                                        # [c, 3, 3]
+        hpc_v = jax.lax.dynamic_slice(
+            hpc2, _i32c(0, c0 * V), (18, chunk * V)).T.reshape(
+            chunk, V, 3, 6)
+        hpg_c = jax.lax.dynamic_slice(
+            hpg_rows, _i32c(0, c0), (3 * G2, chunk)).reshape(
+            3, G2, chunk).transpose(2, 0, 1)              # [c, 3, G]
+        E2 = jnp.einsum("cvae,cab->cveb", hpc_v, hin,
+                        precision=_PREC)                  # [c, V, 6, 3]
+        Cg = jnp.einsum("cag,cab->cgb", hpg_c, hin,
+                        precision=_PREC)                  # [c, G, 3]
+        im = jax.lax.dynamic_slice(img, _i32c(c0, 0), (chunk, V))
+        iota_mc = jax.lax.broadcasted_iota(jnp.int32, (M, chunk), 0)
+        Dem = jnp.zeros((6, M, 3, chunk), dt)
+        for v in range(V):
+            O_vT = (im[:, v][None, :] == iota_mc).astype(dt)  # [M, c]
+            Ev = E2[:, v].transpose(1, 2, 0)                  # [6, 3, c]
+            Dem = Dem + Ev[:, None] * O_vT[None, :, None, :]
+        Dfull = jnp.concatenate(
+            [Dem.reshape(K, 3 * chunk),
+             Cg.transpose(1, 2, 0).reshape(G2, 3 * chunk)])   # [u, 3c]
+        if split:
+            b1 = Dfull.astype(jnp.bfloat16)
+            r1 = Dfull - b1.astype(dt)
+            b2 = r1.astype(jnp.bfloat16)
+            B3 = jnp.concatenate([b1, b2, b1], axis=0)
+            Y = jnp.dot(Qcat, B3, preferred_element_type=dt)
+        else:
+            Y = jnp.matmul(Qem, Dfull, precision=_PREC)
+        D3 = Dfull.reshape(u, 3, chunk)
+        Y3 = Y.reshape(u, 3, chunk)
+        rows = jnp.stack([
+            hin[:, bq, dq] + jnp.sum(D3[:, bq] * Y3[:, dq], axis=0)
+            for bq, dq in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        ])                                                # [6, c]
+        return jax.lax.dynamic_update_slice(acc, rows, _i32c(0, c0))
+
+    return jax.lax.fori_loop(0, nch, body, jnp.zeros((6, P_), dt))
+
+
 def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
                            point_ids=None, chunk: int | None = None):
     """3x3 posterior cofactor blocks Qpp[p] = Hpp^{-1} + C_p^T S^{-1} C_p
     for the selected points (all points when ``point_ids`` is None), given
     the dense reduced-cofactor Qred = S^{-1} from `reduced_inverse`.
 
-    Gathers the [V6+G, V6+G] sub-block of Qred that p's coupling touches
-    and contracts it with the compact C_p — O(k (6V+G)^2) total.
-    Returns [k, 3, 3]."""
+    All-points with u <= `DENSE_RECOVERY_U_MAX`: gather-free dense MXU
+    panels (`_pcd_dense_all`).  Otherwise: gathers the rows of Qred that
+    p's coupling touches and contracts with the compact C_p —
+    O(k (6V+G)^2) total.  Returns [k, 3, 3]."""
     b = engine.materialize_global_rows(p, b)
     M, G2 = p.num_images, len(b.Jg) // 2
     V = p.views
@@ -596,6 +809,19 @@ def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
     hinv_rows = jnp.stack(list(b.Hpp_inv))                # [6, P]
     hpg_rows = _hpg_rows2d(p, b)                          # [3G, P]
     img = p.obs_image.astype(jnp.int32).reshape(p.num_points, V)
+
+    u_red = Qred.shape[0]
+    if point_ids is None and chunk is None \
+            and u_red <= DENSE_RECOVERY_U_MAX:
+        # bound the [u, 3c] panel+product slabs to ~130 MB
+        cd = max(64, int(1.1e7 / max(u_red, 1)))
+        cd = _choose_chunk(p.num_points, min(4096, cd))
+        rows6 = _pcd_dense_all(p, hpc2, hinv_rows, hpg_rows, Qred, G2, cd)
+        return jnp.stack([
+            jnp.stack([rows6[0], rows6[1], rows6[2]], axis=1),
+            jnp.stack([rows6[1], rows6[3], rows6[4]], axis=1),
+            jnp.stack([rows6[2], rows6[4], rows6[5]], axis=1),
+        ], axis=1)
 
     Qcg = Qred[:K, K:].reshape(M, 6, G2)
     Qgg = Qred[K:, K:]

@@ -56,25 +56,33 @@ def _dot_oh(v, oh_bf16, contract_last=False, passes=3):
     (residual O(2^-27 |v|)); 2 carries O(2^-16 |v|) relative error — fine
     for the CG OPERATOR (solve accuracy needs ~1e-2 relative; the
     measured-disastrous case was the single-pass 4e-3), NOT for the
-    assembly's gradient rows (cancelling reductions — keep 3)."""
+    assembly's gradient rows (cancelling reductions — keep 3).
+
+    The chunks ride ONE dot, STACKED along the non-contracted row dim
+    (r05: the separate per-chunk dots each pay a full MXU pass at r = 8W
+    = 32 rows — 25%% M-tile utilisation; the stacked [passes*r, .] dot
+    does the same work in one pass), and the partial products are summed
+    after the dot."""
     f32 = jnp.float32
     bf = jnp.bfloat16
     v1 = v.astype(bf)
     r1 = v - v1.astype(f32)
     v2 = r1.astype(bf)
+    chunks = [v1, v2]
+    if passes >= 3:
+        chunks.append((r1 - v2.astype(f32)).astype(bf))
+    A = jnp.concatenate(chunks, axis=0)
     if contract_last:
         dn = (((1,), (1,)), ((), ()))
-
-        def d(a):
-            return jax.lax.dot_general(a, oh_bf16, dn,
-                                       preferred_element_type=f32)
+        out = jax.lax.dot_general(A, oh_bf16, dn,
+                                  preferred_element_type=f32)
     else:
-        def d(a):
-            return jnp.dot(a, oh_bf16, preferred_element_type=f32)
-    if passes == 2:
-        return d(v1) + d(v2)
-    v3 = (r1 - v2.astype(f32)).astype(bf)
-    return d(v1) + d(v2) + d(v3)
+        out = jnp.dot(A, oh_bf16, preferred_element_type=f32)
+    r = v.shape[0]
+    tot = out[:r]
+    for k in range(1, len(chunks)):
+        tot = tot + out[k * r:(k + 1) * r]
+    return tot
 
 
 class PackedFM(NamedTuple):
@@ -311,7 +319,7 @@ def make_cam_gather(p, h: int | None = None, interpret: bool = False):
 def _matvec_block(pk, img, hpp, xcT, xg, *, views, g, pb, H, W, passes,
                   g_pad8):
     """One NB-lane sub-block of the matvec body; returns (contrib_c
-    [8W, H], contrib_g [g_pad8, 8]) for this block's lanes."""
+    [8W, H], contrib_g [g_pad8, 128]) for this block's lanes."""
     f32 = jnp.float32
     off = _offsets(g)
     nb = views * pb
@@ -360,8 +368,10 @@ def _matvec_block(pk, img, hpp, xcT, xg, *, views, g, pb, H, W, passes,
 
     qg = pk[jg:jg + g] * tv0 + pk[jg + g:jg + 2 * g] * tv1  # [G, NB]
     qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
-    ones = jnp.ones((nb, 8), jnp.bfloat16)
-    contrib_g = _dot_oh(qg, ones, passes=passes)             # [G_pad8, 8]
+    # VPU lane-fold (exact f32 adds) instead of a [., nb] x [nb, 8] ones
+    # dot: the dot streamed nb lanes through the MXU for a 8/128 output
+    # tile — as much MXU time as the whole camera scatter (r05)
+    contrib_g = jnp.sum(qg.reshape(g_pad8, nb // 128, 128), axis=1)
     return contrib_c, contrib_g
 
 
@@ -449,12 +459,12 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
         out_specs=[
             pl.BlockSpec((w8, H), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_pad8, 8), lambda i: (0, 0),
+            pl.BlockSpec((g_pad8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((w8, H), jnp.float32),
-            jax.ShapeDtypeStruct((g_pad8, 8), jnp.float32),
+            jax.ShapeDtypeStruct((g_pad8, 128), jnp.float32),
         ],
         interpret=interpret,
     )
@@ -474,7 +484,7 @@ def make_matvec(pp: PackedFM, extra_c, extra_g, pb: int | None = None,
                                 pp.obs_img, pp.hppinv)
         oc = out_c.reshape(W, 8, H).transpose(2, 0, 1).reshape(m_pad, 8)
         oc = oc[:M, :6].astype(xc.dtype) + extra_c * xc
-        og = out_g[:G, 0].astype(xg.dtype) + extra_g * xg
+        og = jnp.sum(out_g[:G, :], axis=1).astype(xg.dtype) + extra_g * xg
         return oc, og
 
     return matvec
@@ -643,11 +653,11 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
                               contract_last=True)            # [F99p, H]
             red_ref[:, w * H:(w + 1) * H] += contrib
 
-    # global rhs correction rows: sum_n Jg u0
+    # global rhs correction rows: sum_n Jg u0 (VPU lane-fold, exact f32)
     qg = pk[jg:jg + g] * u0 + pk[jg + g:jg + 2 * g] * u1     # [G, NB]
     g_pad8 = rgq_ref.shape[0]
     qg = jnp.concatenate([qg, jnp.zeros((g_pad8 - g, nb), f32)], axis=0)
-    rgq_ref[:] += _dot_oh(qg, jnp.ones((nb, 8), jnp.bfloat16))
+    rgq_ref[:] += jnp.sum(qg.reshape(g_pad8, nb // 128, 128), axis=1)
 
     # T2 = Jg @ PJg^T over this block's lanes
     A2 = jnp.concatenate(
@@ -703,7 +713,7 @@ def make_prepare_reduction(pp: PackedFM, h: int | None = None,
         out_specs=[
             pl.BlockSpec((f99_pad, m_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_pad8, 8), lambda i: (0, 0),
+            pl.BlockSpec((g_pad8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((t2_pad, t2_pad), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -712,7 +722,7 @@ def make_prepare_reduction(pp: PackedFM, h: int | None = None,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((f99_pad, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((g_pad8, 8), jnp.float32),
+            jax.ShapeDtypeStruct((g_pad8, 128), jnp.float32),
             jax.ShapeDtypeStruct((t2_pad, t2_pad), jnp.float32),
             jax.ShapeDtypeStruct((t3_pad, t3_pad), jnp.float32),
         ],
@@ -727,7 +737,8 @@ def make_prepare_reduction(pp: PackedFM, h: int | None = None,
         # red columns are m' = w*H + hcol; unscramble to m = hcol*W + w
         red = red.reshape(f99_pad, W, H).transpose(2, 1, 0).reshape(
             m_pad, f99_pad)
-        return (red[:M, :F99], rgq[:G, 0], T2[:2 * G, :2 * G],
+        return (red[:M, :F99], jnp.sum(rgq[:G, :], axis=1),
+                T2[:2 * G, :2 * G],
                 T3[:3 * G, :3 * G])
 
     return run
