@@ -583,7 +583,8 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # the Pallas kernels consume the view-major blocked lane layout; the
     # point-major fmp stays for the XLA matvec timing and the cov phase
     fmv = engine.to_view_major(
-        fmp, kernels.choose_pb(fmp.num_points, fmp.views)) if on_tpu else fmp
+        fmp, kernels.choose_pb(fmp.num_points, fmp.views,
+                               num_images=num_images)) if on_tpu else fmp
     compiles["build_s"] = round(time.time() - t0, 2)
     print(f"build: {compiles['build_s']}s", file=sys.stderr)
 
@@ -606,7 +607,7 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         dxp, dxc, dxg, b, it = engine.lm_step(
             fv, st, spec, lam, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
             couple_global=True, use_pallas=on_tpu, stall_limit=stall,
-            matvec_passes=2)
+            matvec_passes=3)
         st2, mdx = rcs.apply_step(st, problem, alpha * dxp, alpha * dxc,
                                   alpha * dxg)
         return st2, mdx, it
@@ -638,8 +639,8 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # f32 LM phase (damping 0.2x schedule) to its floor, then mixed-
     # precision refinement to max|dx| <= 1e-6 (absolute; ~2e-10 relative
     # to the km-scale coordinates — beyond the reference's sqrt(eps_f64)).
-    # matvec passes=2: ~2^-16 relative CG-operator error, measured 1.2x
-    # matvec.  cg_tol is set UNREACHABLY tight on purpose: the refine
+    # matvec passes=3 (f32-exact operator): free since the stacked-pass
+    # one-hot dot (r05) made 3 passes the cost of 2.  cg_tol is set UNREACHABLY tight on purpose: the refine
     # system is ill-conditioned (damping 1e-7), so a residual-relative
     # stop of 1e-6 can exit with an O(1) STEP error (measured: refinement
     # contraction collapsed from ~1e-3/it to ~0.5/it when a better
@@ -647,7 +648,7 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # detector (plateau of the best residual) is the real stopping rule —
     # CG then minimises the S-norm step error to its f32 floor.
     refiner = refine.Refiner(problem, spec, use_pallas=on_tpu,
-                             matvec_passes=2)
+                             matvec_passes=3)
     s_ref = hilo.from_f32(state0)
     rstep = lambda s: refiner.step(s, damping=1e-7, cg_tol=1e-12,
                                    cg_maxiter=800, stall_limit=300)
@@ -794,7 +795,8 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
                 raise RuntimeError("pallas matvec needs the TPU")
             from bundle_adjustment_tpu.parallel import kernels as _k
 
-            pbv = _k.choose_pb(fmv.num_points, fmv.views)
+            pbv = _k.choose_pb(fmv.num_points, fmv.views,
+                               num_images=num_images)
 
             def mk_packed(big_, st):
                 fv = bigargs.merge(fmv, big_names, big_)
@@ -820,9 +822,9 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
             def mv_pal_f(pk, oi, hp, eg, c, g):
                 pp_ = ppl._replace(packed=pk, obs_img=oi, hppinv=hp)
                 return kernels.make_matvec(
-                    pp_, ec0, eg, passes=2,
-                    bsteps=kernels.choose_bsteps(pp_.num_points, pp_.pb,
-                                                 2))(c, g)
+                    pp_, ec0, eg, passes=3,
+                    bsteps=kernels.default_bsteps(
+                        pp_.num_points, pp_.pb, fmv.views))(c, g)
 
             dt_p5 = _mv_rate(mv_pal_f, packed, obs_img, hppinv, eg_,
                              xc0, xg0)
@@ -884,14 +886,14 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
         def mv_pal_f(packed, obs_img, hppinv, ec, eg, c, g):
             pp_ = pp._replace(packed=packed, obs_img=obs_img, hppinv=hppinv)
-            # passes=2 + bsteps=2: the production CG configuration
-            # (lm_step's matvec_passes=2, ~2^-16 operator error; bsteps
-            # from the even block count of the 512-padded problem) — r05
-            # exp_mv5: 545 us vs 861 us for the 3-pass bsteps=1 variant
+            # passes=3 + VMEM-sized blocks: the production CG
+            # configuration — the stacked-pass dot made 3 exact passes
+            # the same cost as 2 (r05 exp_mv5: 635.6 vs 641.0 us), and
+            # pb=1024 blocks measure 532 us (434 GB/s)
             return kernels.make_matvec(
-                pp_, ec, eg, passes=2,
-                bsteps=kernels.choose_bsteps(pp_.num_points, pp_.pb, 2))(
-                c, g)
+                pp_, ec, eg, passes=3,
+                bsteps=kernels.default_bsteps(
+                    pp_.num_points, pp_.pb, fmv.views))(c, g)
 
         dt_p = _mv_rate(mv_pal_f, pp.packed, pp.obs_img,
                         pp.hppinv, b.extra_c, b.extra_g, rc, rg)
@@ -930,6 +932,11 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
             tf2 = frun(f2, x0)
             dt_f = max(tf2 - tf1, 1e-9) / (5 * (K2_CHAIN - K1_CHAIN))
             out["matvec_read_floor_gbps"] = round(fbytes / dt_f / 1e9, 1)
+            # fraction of the SAME-SESSION pure-read floor: the relay
+            # window moves the absolute rates 2x between grants (r05:
+            # floor 930 vs 568 GB/s in different sessions) — this ratio
+            # is the window-independent kernel-quality number
+            out["matvec_vs_read_floor"] = round(dt_f / dt_p, 3)
         except Exception as exc:
             out["matvec_read_floor_error"] = str(exc)[:120]
     out["matvec_hbm_sol_fraction"] = round(

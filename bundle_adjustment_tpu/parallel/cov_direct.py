@@ -108,11 +108,11 @@ def _hinv3(b: engine.FMBlocks):
 
 
 #: image count above which the per-image reduction falls back to chunked
-#: scatter-adds (the one-hot operand chunks get thin and the VPU compare
-#: cost N*M grows; below it the one-hot MXU reduction is ~20x faster on
-#: TPU than the element scatter — r05 exp_cov100k: the scatter-add base
-#: stage dominated the 100k fused covariance)
-ONEHOT_M_MAX = 8192
+#: scatter-adds (below it the one-hot MXU reduction avoids the element
+#: scatter that dominated the 100k fused covariance — r05 exp_cov100k:
+#: 1.53 s assemble).  Held at 2048 so the proven 1M/5000-image staged
+#: pipeline keeps its exact program shapes (config-5 risk containment).
+ONEHOT_M_MAX = 2048
 
 
 def assemble_reduced_base(p: engine.FMProblem, b: engine.FMBlocks,
@@ -711,75 +711,87 @@ def _emajor_perm(M: int, G2: int) -> np.ndarray:
                            6 * M + np.arange(G2)])
 
 
-def _pcd_dense_all(p, hpc2, hinv_rows, hpg_rows, Qred, G2: int,
-                   chunk: int):
-    """All-points recovery as dense MXU panels: per chunk, build the
-    coupling panel D [u, 3, c] (e-major camera rows via V outer-product
-    fills — no gathers, no scatters), one fat matmul Y = Qem @ D, and the
-    3x3 blocks fall out of axis-0 reductions sum_u D[:, b, :] Y[:, d, :].
-    O(2 u^2 3P) flops, zero element gathers — vs the row-gather path's
-    P*V6*u-element reads (`_pcd_chunk`), which dominate when u is small
-    enough to make the panels cheap.  Returns the 6 sym rows [6, P]."""
+def _pcd_dense_all(p, brow2, w_rows, hinv_rows, Qred, G2: int,
+                   chunk: int, stage: str = "full"):
+    """All-points recovery as dense MXU panels, entirely in ROW FORM.
+
+    Per chunk and per point-axis component b: build the coupling panel
+    D_b [u, c] (e-major camera rows) by V broadcasted outer products of
+    the Hpp^{-1}-applied rows ``brow2`` (= E in row form, index b*6+e)
+    with the per-view one-hot — no gathers, no scatters, no 3-minor-dim
+    tile padding; the global rows are ``w_rows`` slices (= C_p's global
+    block, index b*G+g).  One matmul Y_b = Qem @ D_b each, and the sym
+    rows fall out of contiguous axis-0 reductions sum_u D_b * Y_d.
+    O(2 u^2 3P) flops, zero element gathers.  (The first cut of this
+    path reshaped [u, 3c] -> [u, 3, c] for the reductions — the 3-minor
+    tile pad plus strided slices cost 0.52 s of its 0.82 s at 100k,
+    r05 tools/exp_rec.py.)
+
+    ``stage``: probe hook (tools/exp_rec.py) — "fill"/"dot" stop the
+    body early and return dummy rows.  Returns the 6 sym rows [6, P]."""
     V = p.views
     M = p.num_images
     K = 6 * M
     u = Qred.shape[0]
     P_ = p.num_points
     dt = Qred.dtype
-    img = p.obs_image.astype(jnp.int32).reshape(P_, V)
+    bf = jnp.bfloat16
+    img = p.obs_image.astype(jnp.int32)
     perm = jnp.asarray(_emajor_perm(M, G2))
     Qem = Qred[perm][:, perm]
     split = dt == jnp.float32
     if split:
-        bf = jnp.bfloat16
         q1 = Qem.astype(bf)
         q2 = (Qem - q1.astype(dt)).astype(bf)
         # loop-invariant split operand: 3 bf16 passes ride one dot
         Qcat = jnp.concatenate([q1, q1, q2], axis=1)      # [u, 3u]
     nch = P_ // chunk
+    cV = chunk * V
 
     def body(i, acc):
         c0 = i * chunk
-        h = jax.lax.dynamic_slice(hinv_rows, _i32c(0, c0), (6, chunk))
-        hin = jnp.stack([
-            jnp.stack([h[0], h[1], h[2]], axis=1),
-            jnp.stack([h[1], h[3], h[4]], axis=1),
-            jnp.stack([h[2], h[4], h[5]], axis=1),
-        ], axis=1)                                        # [c, 3, 3]
-        hpc_v = jax.lax.dynamic_slice(
-            hpc2, _i32c(0, c0 * V), (18, chunk * V)).T.reshape(
-            chunk, V, 3, 6)
-        hpg_c = jax.lax.dynamic_slice(
-            hpg_rows, _i32c(0, c0), (3 * G2, chunk)).reshape(
-            3, G2, chunk).transpose(2, 0, 1)              # [c, 3, G]
-        E2 = jnp.einsum("cvae,cab->cveb", hpc_v, hin,
-                        precision=_PREC)                  # [c, V, 6, 3]
-        Cg = jnp.einsum("cag,cab->cgb", hpg_c, hin,
-                        precision=_PREC)                  # [c, G, 3]
-        im = jax.lax.dynamic_slice(img, _i32c(c0, 0), (chunk, V))
+        o0 = c0 * V
+        im = jax.lax.dynamic_slice(img, _i32c(o0), (cV,)).reshape(
+            chunk, V)
+        eb = jax.lax.dynamic_slice(
+            brow2, _i32c(0, o0), (18, cV)).reshape(18, chunk, V)
         iota_mc = jax.lax.broadcasted_iota(jnp.int32, (M, chunk), 0)
-        Dem = jnp.zeros((6, M, 3, chunk), dt)
+        Dem = [jnp.zeros((6, M, chunk), dt) for _ in range(3)]
         for v in range(V):
             O_vT = (im[:, v][None, :] == iota_mc).astype(dt)  # [M, c]
-            Ev = E2[:, v].transpose(1, 2, 0)                  # [6, 3, c]
-            Dem = Dem + Ev[:, None] * O_vT[None, :, None, :]
-        Dfull = jnp.concatenate(
-            [Dem.reshape(K, 3 * chunk),
-             Cg.transpose(1, 2, 0).reshape(G2, 3 * chunk)])   # [u, 3c]
-        if split:
-            b1 = Dfull.astype(jnp.bfloat16)
-            r1 = Dfull - b1.astype(dt)
-            b2 = r1.astype(jnp.bfloat16)
-            B3 = jnp.concatenate([b1, b2, b1], axis=0)
-            Y = jnp.dot(Qcat, B3, preferred_element_type=dt)
-        else:
-            Y = jnp.matmul(Qem, Dfull, precision=_PREC)
-        D3 = Dfull.reshape(u, 3, chunk)
-        Y3 = Y.reshape(u, 3, chunk)
+            for bq in range(3):
+                Ev = eb[bq * 6:(bq + 1) * 6, :, v]            # [6, c]
+                Dem[bq] = Dem[bq] + Ev[:, None, :] * O_vT[None, :, :]
+        w = jax.lax.dynamic_slice(w_rows, _i32c(0, c0), (3 * G2, chunk))
+        h6 = jax.lax.dynamic_slice(hinv_rows, _i32c(0, c0), (6, chunk))
+        Ds, Ys = [], []
+        for bq in range(3):
+            Db = jnp.concatenate(
+                [Dem[bq].reshape(K, chunk),
+                 w[bq * G2:(bq + 1) * G2]])                   # [u, c]
+            Ds.append(Db)
+            if stage == "fill":
+                continue
+            if split:
+                b1 = Db.astype(bf)
+                r1 = Db - b1.astype(dt)
+                b2 = r1.astype(bf)
+                B3 = jnp.concatenate([b1, b2, b1], axis=0)
+                Ys.append(jnp.dot(Qcat, B3, preferred_element_type=dt))
+            else:
+                Ys.append(jnp.matmul(Qem, Db, precision=_PREC))
+        if stage == "fill":  # probe mode
+            return jax.lax.dynamic_update_slice(
+                acc, jnp.broadcast_to(sum(jnp.sum(D) for D in Ds),
+                                      (6, chunk)), _i32c(0, c0))
+        if stage == "dot":  # probe mode
+            return jax.lax.dynamic_update_slice(
+                acc, jnp.broadcast_to(sum(jnp.sum(Y) for Y in Ys),
+                                      (6, chunk)), _i32c(0, c0))
         rows = jnp.stack([
-            hin[:, bq, dq] + jnp.sum(D3[:, bq] * Y3[:, dq], axis=0)
-            for bq, dq in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
-        ])                                                # [6, c]
+            h6[k] + jnp.sum(Ds[bq] * Ys[dq], axis=0)
+            for k, (bq, dq) in enumerate(
+                ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)))])
         return jax.lax.dynamic_update_slice(acc, rows, _i32c(0, c0))
 
     return jax.lax.fori_loop(0, nch, body, jnp.zeros((6, P_), dt))
@@ -813,10 +825,12 @@ def point_covariance_dense(p: engine.FMProblem, b: engine.FMBlocks, Qred,
     u_red = Qred.shape[0]
     if point_ids is None and chunk is None \
             and u_red <= DENSE_RECOVERY_U_MAX:
-        # bound the [u, 3c] panel+product slabs to ~130 MB
+        # per-b [u, c] panel+product slabs bounded to ~45 MB each; the
+        # applied rows brow2/W_rows double as E / C_p in row form
         cd = max(64, int(1.1e7 / max(u_red, 1)))
         cd = _choose_chunk(p.num_points, min(4096, cd))
-        rows6 = _pcd_dense_all(p, hpc2, hinv_rows, hpg_rows, Qred, G2, cd)
+        _, brow2, W_rows = panel_rows(p, b)
+        rows6 = _pcd_dense_all(p, brow2, W_rows, hinv_rows, Qred, G2, cd)
         return jnp.stack([
             jnp.stack([rows6[0], rows6[1], rows6[2]], axis=1),
             jnp.stack([rows6[1], rows6[3], rows6[4]], axis=1),

@@ -1077,7 +1077,7 @@ def lm_step_full(p: FMProblem, rp, state: ParamState, spec, damping,
         pp = pp._replace(packed=arrs[0], obs_img=arrs[1], hppinv=arrs[2])
         base = kernels.make_matvec(
             pp, b.extra_c, b.extra_g, pb=pallas_pb,
-            bsteps=kernels.choose_bsteps(p.num_points, pp.pb, 2))
+            bsteps=kernels.default_bsteps(p.num_points, pp.pb, p.views))
     else:
         def base(c, g):
             return schur_matvec(p, b, c, g)
@@ -1122,12 +1122,12 @@ def lm_step(p: FMProblem, state: ParamState, spec, damping,
         b, rc, rg, Minv, arrs = jax.lax.optimization_barrier(
             (b, rc, rg, Minv, (pp.packed, pp.obs_img, pp.hppinv)))
         pp = pp._replace(packed=arrs[0], obs_img=arrs[1], hppinv=arrs[2])
-        # bsteps=2 when the block count allows: amortises per-grid-step
-        # overhead in the CG matvec (r05 exp_mv5: 545 us vs 656 us at
-        # bsteps=1 with passes=2 — 51% of HBM SoL)
+        # bsteps from the lane-block size: 2 amortises per-grid-step
+        # overhead for small blocks; 1 once nb >= 8192 (VMEM double-
+        # buffering; r05 exp_mv5)
         matvec = kernels.make_matvec(
             pp, b.extra_c, b.extra_g, pb=pallas_pb, passes=matvec_passes,
-            bsteps=kernels.choose_bsteps(p.num_points, pp.pb, 2))
+            bsteps=kernels.default_bsteps(p.num_points, pp.pb, p.views))
     else:
         b, rc, rg, Minv = prepare(p, state, spec, damping,
                                   couple_global=couple_global,

@@ -192,9 +192,32 @@ def choose_bsteps(P: int, pb: int, target: int = 1) -> int:
     return best
 
 
-def choose_pb(P: int, V: int, target_nb: int = 4096) -> int:
+def default_bsteps(P: int, pb: int, views: int) -> int:
+    """Production bsteps: amortise grid overhead only while the lane
+    block is small (r05 exp_mv5: at nb >= 8192 bsteps > 1 costs VMEM
+    double-buffering and measures slower — 543 vs 532 us at pb=1024)."""
+    return choose_bsteps(P, pb, 2 if pb * views < 8192 else 1)
+
+
+def choose_pb(P: int, V: int, target_nb: int | None = None,
+              num_images: int | None = None) -> int:
     """Largest PB (multiple of 128, Mosaic lane-block constraint) dividing P
-    with V*PB <= target_nb."""
+    with V*PB <= target_nb.
+
+    ``target_nb=None`` sizes the lane block from the kernel's VMEM budget:
+    the matvec's dominant VMEM residents scale as 8W * nb (the [8W, nb]
+    f32 one-hot product + its stacked bf16 operand), so nb is capped at
+    ~156k / W — bigger blocks measure faster until VMEM double-buffering
+    runs out (r05 exp_mv5: 636 -> 532 us/mv going nb 3072 -> 12288 at
+    W=4; the M=5000 config has W=40 and must stay at nb ~3k)."""
+    if target_nb is None:
+        if num_images is None:
+            target_nb = 4096
+        else:
+            m_pad = max(128, -(-num_images // 128) * 128)
+            W = m_pad // choose_h(m_pad, row_cost=2.0)
+            target_nb = max(2048, min(16384,
+                                      int(156250 / W) // 128 * 128))
     best = 0
     pb = 128
     while V * pb <= target_nb:

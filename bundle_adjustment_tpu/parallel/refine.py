@@ -97,8 +97,9 @@ class Refiner:
             from . import kernels
 
             self.fmp32 = engine.to_view_major(
-                self.fmp32, kernels.choose_pb(self.fmp32.num_points,
-                                              self.fmp32.views))
+                self.fmp32, kernels.choose_pb(
+                    self.fmp32.num_points, self.fmp32.views,
+                    num_images=self.fmp32.num_images))
         self._gdev = (jax.devices("cpu")[0]
                       if gradient_device == "cpu" else None)
         if self._gdev is not None:
@@ -213,7 +214,8 @@ class Refiner:
             # reuse the rows packed once by prepare_pallas above
             base = kernels.make_matvec(
                 pp, b.extra_c, b.extra_g, passes=self.matvec_passes,
-                bsteps=kernels.choose_bsteps(p32.num_points, pp.pb, 2))
+                bsteps=kernels.default_bsteps(p32.num_points, pp.pb,
+                                              p32.views))
         else:
             def base(c, g):
                 return engine.schur_matvec(p32, b, c, g)

@@ -49,7 +49,9 @@ def main():
     dtype = jnp.float32
     problem, state, spec = B.build_problem(P, M, V, dtype, pad128=True)
     fmp = engine.fm_problem(problem)
-    pb = kernels.choose_pb(fmp.num_points, fmp.views)
+    pb_env = os.environ.get("EXP_MV_PB")
+    pb = int(pb_env) if pb_env else kernels.choose_pb(
+        fmp.num_points, fmp.views)
     fmv = engine.to_view_major(fmp, pb)
     G = 3 + spec.num_coefficients
     N = int(fmv.obs_x.shape[0])
@@ -100,7 +102,12 @@ def main():
             return c, g
         return jax.jit(f)
 
+    only = os.environ.get("EXP_MV_ONLY", "")
+    only = set(only.split(",")) if only else None
+
     def timed(name, mv_fn, bytes_eff=fbytes):
+        if only is not None and name not in only:
+            return
         try:
             f = chain(mv_fn)
             out = [f(xc0, xg0)]
