@@ -639,8 +639,12 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # f32 LM phase (damping 0.2x schedule) to its floor, then mixed-
     # precision refinement to max|dx| <= 1e-6 (absolute; ~2e-10 relative
     # to the km-scale coordinates — beyond the reference's sqrt(eps_f64)).
-    # matvec passes=3 (f32-exact operator): free since the stacked-pass
-    # one-hot dot (r05) made 3 passes the cost of 2.  cg_tol is set UNREACHABLY tight on purpose: the refine
+    # refine matvec passes=2: the stall-plateau stopping rule was tuned
+    # against the 2-pass (~2^-16) operator; the exact 3-pass operator
+    # keeps the CG residual creeping past the plateau window and one
+    # refine step ballooned 5 -> 10 s (r05 bench probe).  The fixed-cg8
+    # LM phase uses passes=3 (exact, same cost after the stacked-pass
+    # dot).  cg_tol is set UNREACHABLY tight on purpose: the refine
     # system is ill-conditioned (damping 1e-7), so a residual-relative
     # stop of 1e-6 can exit with an O(1) STEP error (measured: refinement
     # contraction collapsed from ~1e-3/it to ~0.5/it when a better
@@ -648,7 +652,7 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
     # detector (plateau of the best residual) is the real stopping rule —
     # CG then minimises the S-norm step error to its f32 floor.
     refiner = refine.Refiner(problem, spec, use_pallas=on_tpu,
-                             matvec_passes=3)
+                             matvec_passes=2)
     s_ref = hilo.from_f32(state0)
     rstep = lambda s: refiner.step(s, damping=1e-7, cg_tol=1e-12,
                                    cg_maxiter=800, stall_limit=300)

@@ -574,7 +574,7 @@ def make_read_floor(pp: PackedFM, bsteps: int = 1):
 
 def _prepare_kernel(packed_ref, img_ref, hpp_ref,
                     red_ref, rgq_ref, t2_ref, t3_ref, *, views, g,
-                    pb, H, W, f99_pad, t2_pad, t3_pad):
+                    pb, H, W, f99_pad, t2_pad, t3_pad, ps):
     """Fused per-image reduction of engine.prepare's 39 + 6G feature rows.
 
     Replaces the XLA path's [N, 39 + 6G] stack + image-order row gather +
@@ -585,13 +585,49 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
     Also accumulates the global-side pieces: the rhs correction sum_n Jg u0
     (rgq), T2 = Jg PJg^T and T3 = W Hpg^T for Sgg.  Row order matches
     engine.prepare exactly; engine.finish_reduction turns the outputs into
-    (rc, rg, Precond)."""
+    (rc, rg, Precond).
+
+    ``ps``: point sub-slice per inner step.  This kernel's live temps
+    (the ~104 feature rows + the stacked one-hot products) scale with the
+    lane count, and the VIEW-MAJOR layout is shared with the matvec,
+    whose VMEM-optimal block is pb=1024 (r05 exp_mv5) — 56 MB of scoped
+    VMEM here (measured AOT OOM).  Sub-slicing point ranges inside the
+    block (lanes v*pb + [s*ps, (s+1)*ps) re-concatenated per view) keeps
+    this kernel's temps at ps-scale for any pb."""
+    f32 = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        red_ref[:] = jnp.zeros_like(red_ref)
+        rgq_ref[:] = jnp.zeros_like(rgq_ref)
+        t2_ref[:] = jnp.zeros_like(t2_ref)
+        t3_ref[:] = jnp.zeros_like(t3_ref)
+
+    for s_i in range(pb // ps):
+        if ps == pb:
+            pk_s = packed_ref[:]
+            img_s = img_ref[:]
+            h_s = hpp_ref[:]
+        else:
+            pk_s = jnp.concatenate(
+                [packed_ref[:, v * pb + s_i * ps:v * pb + (s_i + 1) * ps]
+                 for v in range(views)], axis=1)
+            img_s = jnp.concatenate(
+                [img_ref[:, v * pb + s_i * ps:v * pb + (s_i + 1) * ps]
+                 for v in range(views)], axis=1)
+            h_s = hpp_ref[:, s_i * ps:(s_i + 1) * ps]
+        _prepare_sub(pk_s, img_s, h_s, red_ref, rgq_ref, t2_ref, t3_ref,
+                     views=views, g=g, pb=ps, H=H, W=W, f99_pad=f99_pad,
+                     t2_pad=t2_pad, t3_pad=t3_pad)
+
+
+def _prepare_sub(pk, img, h, red_ref, rgq_ref, t2_ref, t3_ref, *, views,
+                 g, pb, H, W, f99_pad, t2_pad, t3_pad):
+    """One ps-point sub-slice of the fused reduction (see
+    `_prepare_kernel`); accumulates into the four output refs."""
     f32 = jnp.float32
     off = _offsets(g, with_pw=True)
     nb = views * pb
-    pk = packed_ref[:]          # [F_pad, NB] (view-major lanes)
-    img = img_ref[:]            # [1, NB] int32
-    h = hpp_ref[:]              # [8, PB]
 
     onehot_hi, lo_mask = _two_level_onehot(img, H, W, nb)
 
@@ -660,13 +696,6 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
         feat = jnp.concatenate(
             [feat, jnp.zeros((f99_pad - feat.shape[0], nb), f32)])
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        red_ref[:] = jnp.zeros_like(red_ref)
-        rgq_ref[:] = jnp.zeros_like(rgq_ref)
-        t2_ref[:] = jnp.zeros_like(t2_ref)
-        t3_ref[:] = jnp.zeros_like(t3_ref)
-
     # two-level scatter: red[:, w*H:(w+1)*H] += (feat * lo_w) @ onehot_hi^T
     if W == 1:
         red_ref[:] += _dot_oh(feat, onehot_hi, contract_last=True)
@@ -702,11 +731,18 @@ def _prepare_kernel(packed_ref, img_ref, hpp_ref,
 
 
 def make_prepare_reduction(pp: PackedFM, h: int | None = None,
-                           interpret: bool = False):
+                           interpret: bool = False, ps: int | None = None):
     """Returns fn() -> (red [M, 39+6G], rg_corr [G], T2 [2G, 2G],
-    T3 [3G, 3G]) computed from the packed rows (pack_fm with_pw=True)."""
+    T3 [3G, 3G]) computed from the packed rows (pack_fm with_pw=True).
+    ``ps``: point sub-slice per inner kernel step (default min(pb, 256)
+    — the reduction's VMEM-live temps scale with ps, not with the
+    matvec-optimal pb of the shared view-major layout)."""
     P, V, G = pp.num_points, pp.views, pp.g
     m_pad, pb = pp.m_pad, pp.pb
+    if ps is None:
+        ps = min(pb, 256)
+    if pb % ps:
+        raise ValueError(f"ps={ps} must divide pb={pb}")
     # h_max=256: the [H, nb] one-hot shares VMEM with the ~104 feature rows
     # and the [F99, m_pad] resident output
     H = choose_h(m_pad, row_cost=13.0, h_max=256) if h is None else h
@@ -721,7 +757,7 @@ def make_prepare_reduction(pp: PackedFM, h: int | None = None,
 
     kernel = functools.partial(
         _prepare_kernel, views=V, g=G, pb=pb, H=H, W=W,
-        f99_pad=f99_pad, t2_pad=t2_pad, t3_pad=t3_pad)
+        f99_pad=f99_pad, t2_pad=t2_pad, t3_pad=t3_pad, ps=ps)
     call = pl.pallas_call(
         kernel,
         grid=grid,

@@ -125,3 +125,19 @@ def test_prepare_pallas_two_level_onehot():
                                rtol=2e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(b.bc), np.asarray(b_ref.bc),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_prepare_subslice_matches():
+    """ps < pb (the VMEM sub-slicing for matvec-optimal big lane blocks)
+    accumulates the same reduction as the one-shot block."""
+    problem, state, spec = _problem(P=512, M=6, V=4)
+    fmp = engine.fm_problem(problem)
+    fmv = engine.to_view_major(fmp, 512)
+    b = engine.linearize(fmv, state, spec, jnp.asarray(1e-3, jnp.float32))
+    pp = kernels.pack_fm(b, fmv, with_pw=True)
+    full = kernels.make_prepare_reduction(pp, interpret=True, ps=512)()
+    sub = kernels.make_prepare_reduction(pp, interpret=True, ps=128)()
+    for a, bb in zip(full, sub):
+        a, bb = np.asarray(a), np.asarray(bb)
+        scale = max(np.max(np.abs(a)), 1e-30)
+        np.testing.assert_allclose(a, bb, rtol=2e-4, atol=1e-5 * scale)
