@@ -794,7 +794,11 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
         # LEAN-ONLY pack (no PJ tail — the full pack next to the LM
         # buffers was the r03/r04 OOM) + random probe vectors; the
         # linearise rows live only inside the pack program
-        try:
+        # everything lives inside the helper so EVERY device buffer and
+        # jit closure dies on return — in the r05 full run the PackedFM
+        # (holding the 2.3 GB lean rows at 1M) stayed in scope across the
+        # covariance phase and its inverse stage RESOURCE_EXHAUSTED
+        def _scale_matvec_phase():
             if not on_tpu:
                 raise RuntimeError("pallas matvec needs the TPU")
             from bundle_adjustment_tpu.parallel import kernels as _k
@@ -840,11 +844,14 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
                   f"{out['matvec_pallas_gbps']} GB/s "
                   f"({out['matvec_hbm_sol_fraction']:.0%} SoL)",
                   file=sys.stderr)
-            del packed, obs_img, hppinv, eg_, xc0, xg0
+
+        try:
+            _scale_matvec_phase()
         except Exception as exc:
             out["matvec_error"] = str(exc)[:200]
             print(f"scale matvec phase failed: {out['matvec_error']}",
                   file=sys.stderr)
+        del _scale_matvec_phase
         if emit is not None:
             emit(dict(out))
 
@@ -857,6 +864,11 @@ def run_suite(num_points, num_images, views, full=True, emit=None):
 
         del refiner, rstep, lm0_, lm_, lm, fixed, _run_fixed
         del big_vals, fmv, r, r2, st, s, state0, s_ref
+        gc.collect()
+        # drop the solver/matvec executables too: their cached closures
+        # pin device buffers (the staged-cov inverse runs within ~50 MB
+        # of HBM at u = 30k); every later program compiles fresh anyway
+        jax.clear_caches()
         gc.collect()
         return _cov_phase(out, compiles, fmp, state, spec, dtype,
                           num_images, G, N, emit)
